@@ -1,0 +1,15 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
+# without TPU hardware; compute kernels are platform-agnostic.
+# NOTE: the axon TPU plugin force-prepends itself to jax_platforms at import
+# time, so JAX_PLATFORMS=cpu alone is not enough — override the config knob
+# after import, before any backend is initialized.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
