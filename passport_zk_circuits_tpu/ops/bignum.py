@@ -5,12 +5,13 @@ Design (TPU-first, not a port of the reference's circom bignum):
 * A k-limb big integer is a uint32 array of shape ``(k, *batch)`` — **limb-major**
   so the batch axis is minor-most and maps onto the 128-wide TPU vector lanes.
   Each limb holds 16 bits (little-endian base 2**16).
-* All products of two 16-bit limbs fit exactly in uint32; accumulated
-  convolution sums are kept exact by splitting every product into lo/hi 16-bit
-  halves before accumulation (sums of <= 2**16 terms of 16-bit values < 2**32).
-* Reduction is word-by-word Montgomery (REDC, W = 2**16) so the hot path
-  (RSA modexp, ECDSA field ops, Poseidon rounds) is carry-cheap and fully
-  vectorized over the batch.
+* Limb products are exact in uint32; convolution sums stay exact by splitting
+  every product into lo/hi 16-bit halves whose diagonal sums are reduced with
+  an MXU-friendly one-hot f32 matmul (all values < 2^24, exactly representable).
+* Modular reduction is **Barrett** (mu = floor(b^2k / m) precomputed host-side,
+  per-instance for RSA moduli) — chosen over word-serial Montgomery REDC
+  because it is built from the same batched convolutions (parallel, tiny XLA
+  graphs) instead of a k-step sequential update loop.
 * The modulus may be a static numpy array of shape (k,) (compile-time constant,
   e.g. a curve prime) or a traced array (k, *batch) (per-instance RSA moduli,
   mirroring the reference where the pubkey modulus is a circuit *input*:
@@ -24,6 +25,8 @@ Capability parity targets (semantics, not structure):
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import jax
@@ -75,17 +78,17 @@ def limbs_to_ints_batch(a) -> list:
             for j in range(flat.shape[1])]
 
 
-def mont_consts(mod: int, k: int):
-    """Host precompute of Montgomery constants for modulus `mod` with k limbs.
+def barrett_mu(mod: int, k: int) -> np.ndarray:
+    """Host precompute of the Barrett constant mu = floor(b^2k / mod) as
+    (k+1,) limbs. Requires b^(k-1) <= mod < b^k (modulus sized to its limb
+    count) so mu fits in k+1 limbs."""
+    if not (1 << (W * (k - 1))) <= mod < (1 << (W * k)):
+        raise ValueError("modulus must be sized to its limb count")
+    return int_to_limbs((1 << (W * 2 * k)) // mod, k + 1)
 
-    Returns (n0, rr, r1): n0 = -mod^-1 mod 2^16 (int),
-    rr = R^2 mod `mod` as (k,) limbs (R = 2^(16k)), r1 = R mod `mod` limbs.
-    """
-    if mod % 2 == 0:
-        raise ValueError("Montgomery needs odd modulus")
-    n0 = (-pow(mod, -1, BASE)) % BASE
-    R = 1 << (W * k)
-    return n0, int_to_limbs(R * R % mod, k), int_to_limbs(R % mod, k)
+
+def barrett_mu_batch(mods, k: int) -> np.ndarray:
+    return np.stack([barrett_mu(m, k) for m in mods], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -105,18 +108,21 @@ def _bcast_limbs(x, bshape):
     return jnp.broadcast_to(x, (k,) + tuple(bshape))
 
 
+_SCAN_MIN = 48   # above this limb count, carry/borrow chains go through scan
+
+
 def carry_normalize(t, k_out=None):
     """Propagate carries of an overflowed limb vector (limbs < 2^32).
 
     t: (m, *batch) uint32 with limb values possibly >= 2^16.
-    Returns (k_out, *batch) normalized limbs (drops/keeps high limbs as sized).
-    Sequential 1-step-per-limb scan; m is small & static so this unrolls.
+    Returns (k_out, *batch) normalized limbs. High limbs beyond k_out are
+    dropped (callers guarantee they carry no value when that matters).
     """
     t = _as_u32(t)
     m = t.shape[0]
     k_out = k_out or m
     carry = jnp.zeros(t.shape[1:], dtype=_u32)
-    if m <= _UNROLL_MAX:
+    if m <= _SCAN_MIN:
         outs = []
         for i in range(m):
             v = t[i] + carry
@@ -137,87 +143,74 @@ def carry_normalize(t, k_out=None):
     return jnp.stack(res, axis=0)
 
 
-_UNROLL_MAX = 32  # above this limb count, loops go through lax to bound graphs
+@functools.lru_cache(maxsize=None)
+def _conv_matrix(n: int, m: int):
+    """One-hot (n+m, n*m) f32 matrix: row d sums outer-product entries with
+    i+j == d. Contraction of integer-valued f32 < 2^24 is exact."""
+    D = np.zeros((n + m, n * m), np.float32)
+    for i in range(n):
+        for j in range(m):
+            D[i + j, i * m + j] = 1.0
+    return D  # numpy on purpose: caching a jnp array can leak tracers
+
+
+def _poly_mul_direct(a, b):
+    """Exact convolution via outer product + one-hot matmul (n, m <= 32).
+
+    a: (n, *B), b: (m, *B) normalized -> (n+m, *B) overflowed limbs < 2^22.
+    """
+    n, m = a.shape[0], b.shape[0]
+    prod = a[:, None] * b[None, :]                    # (n, m, *B) exact
+    bshape = prod.shape[2:]
+    lo = (prod & MASK).astype(jnp.float32).reshape(n * m, -1)
+    hi = (prod >> W).astype(jnp.float32).reshape(n * m, -1)
+    D = _conv_matrix(n, m)
+    conv_lo = jax.lax.dot(D, lo, precision=jax.lax.Precision.HIGHEST)
+    conv_hi = jax.lax.dot(D, hi, precision=jax.lax.Precision.HIGHEST)
+    conv_hi = jnp.concatenate(
+        [jnp.zeros((1, conv_hi.shape[1]), jnp.float32), conv_hi[:-1]], 0)
+    out = (conv_lo + conv_hi).astype(_u32)
+    return out.reshape((n + m,) + bshape)
+
+
+_BLOCK = 16
 
 
 def poly_mul(a, b):
-    """Exact product of two limb vectors (schoolbook convolution).
+    """Exact product of two limb vectors (batched convolution).
 
     a: (n, *B), b: (m, *B) normalized -> (n+m, *B) *overflowed* limbs
-    (each < n*2^16 + n so < 2^32 for n <= 2^15). Value = sum limb_i 2^(16 i).
+    (< 2^26). Small sizes use one outer-product matmul; large sizes are
+    blocked into 16-limb chunks whose chunk-products use the same matmul,
+    keeping graphs tiny and f32 sums exact for any RSA size.
     """
     a, b = _as_u32(a), _as_u32(b)
     n, m = a.shape[0], b.shape[0]
     bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a, b = _bcast_limbs(a, bshape), _bcast_limbs(b, bshape)
-    out = jnp.zeros((n + m,) + bshape, dtype=_u32)
-    if n <= _UNROLL_MAX:
-        for i in range(n):
-            p = a[i] * b                   # (m, *B) exact in uint32
-            out = out.at[i:i + m].add(p & MASK)
-            out = out.at[i + 1:i + m + 1].add(p >> W)
-        return out
+    if n <= 2 * _BLOCK and m <= 2 * _BLOCK:
+        return _poly_mul_direct(a, b)
 
-    def body(i, out):
-        p = jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False) * b
-        upd = jnp.concatenate([p & MASK, jnp.zeros((1,) + bshape, _u32)], 0)
-        upd = upd.at[1:].add(p >> W)
-        win = jax.lax.dynamic_slice_in_dim(out, i, m + 1, axis=0)
-        return jax.lax.dynamic_update_slice_in_dim(out, win + upd, i, axis=0)
+    def pad_blocks(x):
+        k = x.shape[0]
+        kb = -(-k // _BLOCK)
+        x = jnp.pad(x, [(0, kb * _BLOCK - k)] + [(0, 0)] * (x.ndim - 1))
+        # limb i = 16u + L -> [L, u]: block u on a batch-like axis
+        return x.reshape((kb, _BLOCK) + bshape).swapaxes(0, 1), kb
 
-    return jax.lax.fori_loop(0, n, body, out)
-
-
-def mont_redc(t, mod_limbs, n0):
-    """Word-by-word Montgomery reduction: t * R^-1 mod `mod` (R = 2^(16 k)).
-
-    t: (2k, *B) overflowed limbs (< ~2^25 each), the product a*b.
-    mod_limbs: (k,) static numpy or (k, *B) traced, normalized.
-    n0: int or (*B,) array: -mod^-1 mod 2^16.
-    Returns (k, *B) normalized, value < mod (full conditional subtract).
-    """
-    t = _as_u32(t)
-    mod_limbs = _as_u32(mod_limbs)
-    k = mod_limbs.shape[0]
-    bshape = jnp.broadcast_shapes(t.shape[1:], mod_limbs.shape[1:])
-    t = _bcast_limbs(t, bshape)
-    mod_limbs = _bcast_limbs(mod_limbs, bshape)
-    n0 = jnp.asarray(n0, dtype=_u32)
-
-    def step(t, i, dynamic):
-        """One REDC word-iteration updating positions i..i+k of t."""
-        if dynamic:
-            win = jax.lax.dynamic_slice_in_dim(t, i, k + 1, axis=0)
-        else:
-            win = t[i:i + k + 1]
-        c = win[0] >> W
-        tl = win[0] & MASK
-        m = (tl * n0) & MASK                     # (*B,)
-        prod = m * mod_limbs                     # (k, *B) exact uint32
-        upd = jnp.concatenate(
-            [prod & MASK, jnp.zeros((1,) + bshape, _u32)], 0)
-        upd = upd.at[1:].add(prod >> W)
-        upd = upd.at[0].add(tl - win[0])         # clears high bits of pos i
-        upd = upd.at[1].add(c)
-        win = win + upd
-        # pos i is now ≡ 0 mod 2^16: push its remaining carry up and zero it
-        win = win.at[1].add(win[0] >> W).at[0].set(0)
-        if dynamic:
-            return jax.lax.dynamic_update_slice_in_dim(t, win, i, axis=0)
-        return t.at[i:i + k + 1].set(win)
-
-    if k <= _UNROLL_MAX:
-        for i in range(k):
-            t = step(t, i, dynamic=False)
-    else:
-        t = jax.lax.fori_loop(0, k, lambda i, t: step(t, i, dynamic=True), t)
-    # T/R < 2*mod can exceed R when mod fills all 16k bits (e.g. RSA-2048),
-    # so keep one extra carry limb through the conditional subtract.
-    res = carry_normalize(t[k:], k_out=k + 1)
-    mod_ext = jnp.concatenate(
-        [mod_limbs, jnp.zeros((1,) + bshape, _u32)], axis=0)
-    return cond_sub_mod(res, mod_ext)[:k]
-
+    ab, ka = pad_blocks(a)                      # (16, ka, *B)
+    bb, kb = pad_blocks(b)
+    # all ka*kb chunk products in one shot: (32, ka, kb, *B), entries < 2^22
+    prods = _poly_mul_direct(ab[:, :, None], bb[:, None, :])
+    # block-level convolution (uint32; sums < 2^22 * 16 = 2^26)
+    bc = jnp.zeros((2 * _BLOCK, ka + kb) + bshape, dtype=_u32)
+    for u in range(ka):
+        bc = bc.at[:, u:u + kb].add(prods[:, u])
+    # expand overlapping 32-limb blocks at stride 16 into flat limbs
+    out = jnp.zeros(((ka + kb + 1) * _BLOCK,) + bshape, dtype=_u32)
+    for d in range(ka + kb):
+        out = out.at[d * _BLOCK:(d + 2) * _BLOCK].add(bc[:, d])
+    return out[:n + m]
 
 def sub_limbs(a, b):
     """a - b with borrow chain. Returns (diff (k,*B) normalized, borrow (*B,) 0/1)."""
@@ -226,7 +219,7 @@ def sub_limbs(a, b):
     bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a, b = _bcast_limbs(a, bshape), _bcast_limbs(b, bshape)
     borrow = jnp.zeros(bshape, dtype=_u32)
-    if k <= _UNROLL_MAX:
+    if k <= _SCAN_MIN:
         outs = []
         for i in range(k):
             v = a[i] + BASE - b[i] - borrow
@@ -242,7 +235,7 @@ def sub_limbs(a, b):
 
 
 def cond_sub_mod(a, mod_limbs):
-    """a - mod if a >= mod else a (a < 2*mod, normalized)."""
+    """a - mod if a >= mod else a (for a < 2*mod, normalized)."""
     d, borrow = sub_limbs(a, _as_u32(mod_limbs))
     return jnp.where(borrow.astype(bool), a, d)
 
@@ -251,7 +244,9 @@ def add_mod(a, b, mod_limbs):
     """(a + b) mod m for normalized a, b < m."""
     a, b = _as_u32(a), _as_u32(b)
     s = carry_normalize(a + b, k_out=a.shape[0] + 1)
-    d, borrow = sub_limbs(s, jnp.pad(_as_u32(mod_limbs), [(0, 1)] + [(0, 0)] * (mod_limbs.ndim - 1)))
+    mod_ext = _as_u32(mod_limbs)
+    mod_ext = jnp.pad(mod_ext, [(0, 1)] + [(0, 0)] * (mod_ext.ndim - 1))
+    d, borrow = sub_limbs(s, mod_ext)
     return jnp.where(borrow.astype(bool), s, d)[:a.shape[0]]
 
 
@@ -263,71 +258,78 @@ def sub_mod(a, b, mod_limbs):
     return jnp.where(borrow.astype(bool), dp, d)
 
 
-def mont_mul(a, b, mod_limbs, n0):
-    """Montgomery product: a*b*R^-1 mod m (inputs/outputs normalized, < m)."""
-    return mont_redc(poly_mul(a, b), mod_limbs, n0)
+def barrett_reduce(t, mod_limbs, mu_limbs):
+    """Barrett reduction: t mod m for t < b^2k (overflowed limbs accepted).
+
+    t: (2k, *B) possibly-overflowed limbs; mod_limbs: (k,) or (k, *B);
+    mu_limbs: (k+1,) or (k+1, *B) = floor(b^2k / m) from `barrett_mu`.
+    Returns (k, *B) normalized, < m. The quotient estimate is off by at most
+    2, fixed with two conditional subtracts.
+    """
+    t = _as_u32(t)
+    mod_limbs = _as_u32(mod_limbs)
+    k = mod_limbs.shape[0]
+    bshape = jnp.broadcast_shapes(t.shape[1:], mod_limbs.shape[1:])
+    x = carry_normalize(_bcast_limbs(t, bshape), k_out=2 * k)
+    q1 = x[k - 1:]                                   # floor(x / b^(k-1)), k+1
+    q2 = carry_normalize(poly_mul(q1, mu_limbs), k_out=2 * k + 2)
+    q3 = q2[k + 1:]                                  # k+1 limbs
+    r2 = carry_normalize(poly_mul(q3, mod_limbs)[:k + 1], k_out=k + 1)
+    r, _ = sub_limbs(x[:k + 1], r2)                  # mod b^(k+1)
+    mod_ext = jnp.pad(_bcast_limbs(mod_limbs, bshape),
+                      [(0, 1)] + [(0, 0)] * len(bshape))
+    r = cond_sub_mod(r, mod_ext)
+    r = cond_sub_mod(r, mod_ext)
+    return r[:k]
 
 
-def mont_sqr(a, mod_limbs, n0):
-    return mont_mul(a, a, mod_limbs, n0)
+def mod_mul(a, b, mod_limbs, mu_limbs):
+    """(a * b) mod m for normalized a, b < m."""
+    return barrett_reduce(poly_mul(a, b), mod_limbs, mu_limbs)
 
 
-def to_mont(a, mod_limbs, n0, rr):
-    """Enter Montgomery domain: a*R mod m (rr = R^2 mod m)."""
-    return mont_mul(a, _as_u32(rr), mod_limbs, n0)
+def mod_sqr(a, mod_limbs, mu_limbs):
+    return mod_mul(a, a, mod_limbs, mu_limbs)
 
 
-def from_mont(a, mod_limbs, n0):
-    """Leave Montgomery domain: a*R^-1 mod m (REDC of a zero-extended)."""
-    a = _as_u32(a)
-    k = a.shape[0]
-    t = jnp.concatenate([a, jnp.zeros_like(a)], axis=0)
-    return mont_redc(t, mod_limbs, n0)
-
-
-def mont_pow(a_mont, exp: int, mod_limbs, n0, one_mont=None):
-    """Fixed (compile-time) exponent power in Montgomery domain.
-
-    Square-and-multiply over the static bits of `exp` — the analog of the
-    reference's PowerMod with exp_to_bits schedule
+def mod_pow(a, exp: int, mod_limbs, mu_limbs, one=None):
+    """Fixed (compile-time) exponent power — the analog of the reference's
+    PowerMod with its exp_to_bits schedule
     (/root/reference/circuits/lib/circuits/bigInt/bigInt.circom:280-340,
-    bigIntFunc.circom:590). exp=65537 -> 16 squarings + 1 multiply.
+    bigIntFunc.circom:590). exp=65537 -> 16 squarings + 1 multiply; long
+    exponents (Fermat inversion, scalar mults) run a lax.scan ladder so the
+    compiled graph holds ONE square+multiply body.
     """
     if exp < 0:
         raise ValueError("negative exponent")
     if exp == 0:
-        if one_mont is None:
-            raise ValueError("exp=0 needs one_mont")
-        return jnp.broadcast_to(_bcast_limbs(one_mont, a_mont.shape[1:]),
-                                a_mont.shape)
+        if one is None:
+            one = int_to_limbs(1, mod_limbs.shape[0])
+        return jnp.broadcast_to(_bcast_limbs(one, a.shape[1:]), a.shape)
     bits = bin(exp)[2:]
     if len(bits) <= 24:
-        # short exponents (65537, 3, 37187): static square-and-multiply,
-        # skipping multiplies on zero bits — 16+1 mults for 65537.
-        acc = a_mont
+        acc = a
         for bit in bits[1:]:
-            acc = mont_sqr(acc, mod_limbs, n0)
+            acc = mod_sqr(acc, mod_limbs, mu_limbs)
             if bit == "1":
-                acc = mont_mul(acc, a_mont, mod_limbs, n0)
+                acc = mod_mul(acc, a, mod_limbs, mu_limbs)
         return acc
-    # long exponents (Fermat inversion, curve-order scalars): lax.scan ladder
-    # so the compiled graph holds ONE square+multiply body, not thousands.
-    bit_arr = jnp.asarray(np.array([b == "1" for b in bits[1:]], dtype=bool))
+    bit_arr = jnp.asarray(np.array([c == "1" for c in bits[1:]], dtype=bool))
 
     def stepfn(acc, bit):
-        acc = mont_sqr(acc, mod_limbs, n0)
-        acc = jnp.where(bit, mont_mul(acc, a_mont, mod_limbs, n0), acc)
+        acc = mod_sqr(acc, mod_limbs, mu_limbs)
+        acc = jnp.where(bit, mod_mul(acc, a, mod_limbs, mu_limbs), acc)
         return acc, None
 
-    acc, _ = jax.lax.scan(stepfn, a_mont, bit_arr)
+    acc, _ = jax.lax.scan(stepfn, a, bit_arr)
     return acc
 
 
-def mod_inv_static(a_mont, mod_int: int, mod_limbs, n0):
-    """Modular inverse via Fermat for a *static prime* modulus, in Montgomery
-    domain (mirror of BigModInv semantics, bigInt.circom:344 — the reference
-    computes the witness with mod_inv and constrains in*out==1)."""
-    return mont_pow(a_mont, mod_int - 2, mod_limbs, n0)
+def mod_inv_prime(a, mod_int: int, mod_limbs, mu_limbs):
+    """Modular inverse via Fermat for a *static prime* modulus (mirror of
+    BigModInv semantics, bigInt.circom:344 — the reference computes the
+    witness with mod_inv and constrains in*out==1). inv(0) = 0."""
+    return mod_pow(a, mod_int - 2, mod_limbs, mu_limbs)
 
 
 def is_zero(a):

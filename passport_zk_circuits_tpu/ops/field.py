@@ -4,9 +4,8 @@ This is the TPU-native replacement for circom's implicit field: every signal in
 the reference is an element of Fr
 (prime pinned at /root/reference/test/automatisationTest.js:9). Elements are
 (16, *batch) uint32 limb arrays (16-bit limbs, limb-major; see ops/bignum.py).
-
-Hot-path ops (Poseidon rounds, BabyJubJub point math, SMT climbs) run in the
-Montgomery domain; constants are pre-converted host-side.
+Reduction is Barrett with the static BN254 mu constant, so all values stay in
+the standard domain end-to-end.
 """
 
 from __future__ import annotations
@@ -21,7 +20,7 @@ P = 2188824287183927522224640574525727508854836440041603434369820418657580849561
 NLIMBS = 16                      # 16 x 16-bit limbs = 256 bits >= 254
 
 P_LIMBS = bn.int_to_limbs(P, NLIMBS)
-N0, RR_LIMBS, R1_LIMBS = bn.mont_consts(P, NLIMBS)
+MU_LIMBS = bn.barrett_mu(P, NLIMBS)
 ZERO_LIMBS = np.zeros(NLIMBS, dtype=np.uint32)
 ONE_LIMBS = bn.int_to_limbs(1, NLIMBS)
 
@@ -44,7 +43,7 @@ def batch_from_limbs(a) -> list:
     return bn.limbs_to_ints_batch(a)
 
 
-# -- device ops (standard domain) ------------------------------------------
+# -- device ops -------------------------------------------------------------
 
 def add(a, b):
     return bn.add_mod(a, b, P_LIMBS)
@@ -59,49 +58,27 @@ def neg(a):
 
 
 def mul(a, b):
-    """Standard-domain product: one extra REDC vs staying in Montgomery."""
-    t = bn.mont_mul(a, b, P_LIMBS, N0)           # a*b*R^-1
-    return bn.mont_mul(t, jnp.asarray(RR_LIMBS), P_LIMBS, N0)  # *R^2*R^-1 = a*b
+    return bn.mod_mul(a, b, P_LIMBS, MU_LIMBS)
 
 
 def sqr(a):
-    return mul(a, a)
+    return bn.mod_mul(a, a, P_LIMBS, MU_LIMBS)
 
 
-# -- Montgomery domain ------------------------------------------------------
-
-def to_mont(a):
-    return bn.to_mont(a, P_LIMBS, N0, RR_LIMBS)
-
-
-def from_mont(a):
-    return bn.from_mont(a, P_LIMBS, N0)
-
-
-def mont_mul(a, b):
-    return bn.mont_mul(a, b, P_LIMBS, N0)
-
-
-def mont_sqr(a):
-    return bn.mont_mul(a, a, P_LIMBS, N0)
-
-
-def mont_pow(a_mont, exp: int):
-    return bn.mont_pow(a_mont, exp, P_LIMBS, N0,
-                       one_mont=jnp.asarray(R1_LIMBS))
-
-
-def mont_inv(a_mont):
-    """Inverse in Montgomery domain via Fermat (a^(p-2))."""
-    return bn.mont_pow(a_mont, P - 2, P_LIMBS, N0)
+def pow_(a, exp: int):
+    return bn.mod_pow(a, exp, P_LIMBS, MU_LIMBS, one=ONE_LIMBS)
 
 
 def inv(a):
-    """Standard-domain inverse (0 -> 0, matching circom's Inverse witness
-    semantics: lib/circuits/int/arithmetic.circom:13 uses 1/in with in!=0
-    guarded by the caller; IsZero uses inv(0)=0,
-    lib/circuits/bitify/comparators.circom:11)."""
-    return from_mont(mont_pow(to_mont(a), P - 2))
+    """Inverse via Fermat (a^(p-2)); inv(0) = 0, matching circom's witness
+    convention (lib/circuits/bitify/comparators.circom:11 IsZero)."""
+    return bn.mod_pow(a, P - 2, P_LIMBS, MU_LIMBS)
+
+
+def reduce_overflowed(t):
+    """Reduce a (32, *B) overflowed limb tensor mod p (lazy-accumulation
+    helper: sum many products, reduce once)."""
+    return bn.barrett_reduce(t, P_LIMBS, MU_LIMBS)
 
 
 # -- predicates / bit ops ---------------------------------------------------

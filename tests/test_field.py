@@ -32,19 +32,11 @@ def test_add_sub():
     assert got == [(x - y) % fr.P for x, y in zip(xs, ys)]
 
 
-def test_mul_and_montgomery():
+def test_mul():
     xs, ys = rand_fr(), rand_fr()
     a, b = fr.batch_to_limbs(xs), fr.batch_to_limbs(ys)
     got = fr.batch_from_limbs(jax.jit(fr.mul)(a, b))
     assert got == [(x * y) % fr.P for x, y in zip(xs, ys)]
-    # montgomery roundtrip
-    am = fr.to_mont(a)
-    assert fr.batch_from_limbs(fr.from_mont(am)) == xs
-    # mont_mul correctness
-    bm = fr.to_mont(b)
-    pm = fr.mont_mul(am, bm)
-    assert fr.batch_from_limbs(fr.from_mont(pm)) == [
-        (x * y) % fr.P for x, y in zip(xs, ys)]
 
 
 def test_edge_values():
@@ -60,10 +52,8 @@ def test_edge_values():
 def test_pow_inv():
     xs = rand_fr()
     a = fr.batch_to_limbs(xs)
-    am = fr.to_mont(a)
     e = 65537
-    got = fr.batch_from_limbs(fr.from_mont(jax.jit(
-        lambda v: fr.mont_pow(v, e))(am)))
+    got = fr.batch_from_limbs(jax.jit(lambda v: fr.pow_(v, e))(a))
     assert got == [pow(x, e, fr.P) for x in xs]
     got = fr.batch_from_limbs(jax.jit(fr.inv)(a))
     assert got == [pow(x, fr.P - 2, fr.P) for x in xs]
@@ -106,17 +96,12 @@ def test_generic_bignum_rsa_sized():
         bases.append(rng.randrange(m))
     mod_l = bn.ints_to_limbs_batch(mods, k)
     base_l = bn.ints_to_limbs_batch(bases, k)
-    n0 = np.array([(-pow(m, -1, bn.BASE)) % bn.BASE for m in mods],
-                  dtype=np.uint32)
-    rr = bn.ints_to_limbs_batch(
-        [pow(1 << (bn.W * k), 2, m) for m in mods], k)
+    mu = bn.barrett_mu_batch(mods, k)
 
-    def modexp(base, mod, n0, rr):
-        bm = bn.to_mont(base, mod, n0, rr)
-        em = bn.mont_pow(bm, 65537, mod, n0)
-        return bn.from_mont(em, mod, n0)
+    def modexp(base, mod, mu):
+        return bn.mod_pow(base, 65537, mod, mu)
 
-    got = bn.limbs_to_ints_batch(jax.jit(modexp)(base_l, mod_l, n0, rr))
+    got = bn.limbs_to_ints_batch(jax.jit(modexp)(base_l, mod_l, mu))
     assert got == [pow(b, 65537, m) for b, m in zip(bases, mods)]
 
 
