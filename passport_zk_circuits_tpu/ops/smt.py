@@ -1,0 +1,78 @@
+"""Batched iden3-style Sparse-Merkle-Tree inclusion verifier.
+
+Capability twin of /root/reference/circuits/merkleTree/SMTVerifier.circom:
+  * leaf hash  = Poseidon3(key, value, 1)           (SMTHash1, :10-21)
+  * node hash  = Poseidon2(L, R)                    (SMTHash2, :23-33)
+  * SMTLevIns finds the level just past the last non-zero sibling (:39-65)
+  * per-level state machine st_top/st_inew (:71-80) and the root climb keyed
+    by the bits of `key` (:109-175).
+
+TPU-native re-design: the climb is a ``lax.scan`` from the deepest level
+upward whose body contains ONE batched Poseidon2; the level-selection
+booleans are computed vectorized over the whole (N_LEVELS, B) sibling tensor.
+Output is `is_verified` (bool (*B,)) — enforcement is the caller's choice,
+mirroring the reference (passportVerificationBuilder.circom:240 leaves it
+unenforced, identityStateVerifier.circom:46 enforces it).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import field as fr
+from . import poseidon as pos
+
+
+def _lev_ins(sib_is_zero):
+    """SMTLevIns analog. sib_is_zero: (N, *B) bool -> levIns (N, *B) bool.
+
+    levIns[i] = 1 at the first level (scanning from the root-most index 0)
+    whose *previous* sibling is the last non-zero one; computed with the same
+    top-down recurrence as the reference (SMTVerifier.circom:56-64)."""
+    N = sib_is_zero.shape[0]
+    lev = [None] * N
+    lev[N - 1] = ~sib_is_zero[N - 2]
+    done = lev[N - 1]
+    for i in range(N - 2, 0, -1):
+        lev[i] = ~done & ~sib_is_zero[i - 1]
+        done = done | lev[i]
+    lev[0] = ~done
+    return jnp.stack(lev, axis=0)
+
+
+def verify(root, key, value, siblings):
+    """Batched SMT inclusion proof.
+
+    root, key, value: (16, *B) Fr limbs; siblings: (16, N_LEVELS, *B).
+    Returns (is_verified (*B,) bool, computed_root (16, *B)).
+    """
+    N = siblings.shape[1]
+    leaf_hash = pos.poseidon([key, value, fr.const(1, key.shape[1:])])
+
+    sib_zero = fr.is_zero(siblings)                  # (N, *B) bool
+    lev_ins = _lev_ins(sib_zero)
+
+    # state machine: st_top[i] = no levIns fired at or before i;
+    # st_inew[i] = levIns fires exactly at i while still on top path.
+    fired = jnp.cumsum(lev_ins.astype(jnp.int32), axis=0)
+    st_inew = lev_ins & (fired == 1)                 # first (and only) fire
+    st_top = fired == 0
+
+    key_bits = fr.to_bits(key, N).astype(bool)       # (N, *B)
+
+    def level(child, xs):
+        sib, lrbit, top, inew = xs
+        L = fr.select(lrbit, sib, child)
+        R = fr.select(lrbit, child, sib)
+        h = pos.poseidon([L, R])
+        root_i = fr.select(top, h, fr.select(inew, leaf_hash,
+                                             jnp.zeros_like(h)))
+        return root_i, None
+
+    xs = (jnp.flip(jnp.moveaxis(siblings, 1, 0), 0),
+          jnp.flip(key_bits, 0), jnp.flip(st_top, 0), jnp.flip(st_inew, 0))
+    computed, _ = jax.lax.scan(level, jnp.zeros_like(root), xs)
+    # the reference asserts the topmost sibling is zero
+    # (SMTVerifier.circom:54); fold that well-formedness into the verdict.
+    return fr.eq(computed, root) & sib_zero[N - 1], computed
