@@ -1,0 +1,73 @@
+"""Host-side input-tensor builder: raw passport blobs -> batched device
+tensors for the RegisterIdentity forward.
+
+Performs the off-circuit work the reference does in JS: SHA padding of every
+blob (process_passport.js:11-91), bignum chunking (:113-135), and the Barrett
+precompute (the reference hints the same idea at :137-139
+`compute_barret_reduction`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.params import CircuitParams
+from ..models.passport_verification import PassportInputs
+from ..models.register_identity import RegisterIdentityInputs
+from ..ops import sha2
+from ..ops import bignum as bn
+from ..ops import field as fr
+
+
+def _pad_to_blocks(data: bytes, block_bits: int, n_blocks: int) -> bytes:
+    padded = sha2.pad_message(data, block_bits)
+    want = n_blocks * block_bits // 8
+    if len(padded) != want:
+        raise ValueError(f"blob of {len(data)}B pads to {len(padded)}B, "
+                         f"expected {want}B ({n_blocks} blocks)")
+    return padded
+
+
+def _words_batch(blobs) -> np.ndarray:
+    return np.stack([sha2.bytes_to_words32(b) for b in blobs], axis=-1)
+
+
+def build_register_inputs(p: CircuitParams, passports) -> RegisterIdentityInputs:
+    """passports: list of dicts from ingest.synthetic (or parsed real data).
+    Returns batched numpy inputs (limb/word tensors, batch minor-most)."""
+    sig = p.sig
+    k = sig.key_bits // 16
+
+    dg1_p = [_pad_to_blocks(pp["dg1"], p.dg_hash_block_size,
+                            1024 // p.dg_hash_block_size) for pp in passports]
+    ec_p = [_pad_to_blocks(pp["ec"], p.sig_hash_block_size,
+                           p.ec_block_number) for pp in passports]
+    sa_p = [_pad_to_blocks(pp["sa"], p.sig_hash_block_size,
+                           1024 // p.sig_hash_block_size) for pp in passports]
+    if p.aa_signature_algo != 0:
+        dg15_p = [_pad_to_blocks(pp["dg15"], p.dg_hash_block_size,
+                                 p.dg15_block_number) for pp in passports]
+    else:
+        dg15_p = [b"\x00" * (p.dg15_block_number * p.dg_hash_block_size // 8)
+                  for pp in passports]
+
+    mods = [pp["pubkey"] for pp in passports]
+    passport_inp = PassportInputs(
+        dg1_words=_words_batch(dg1_p),
+        dg15_words=_words_batch(dg15_p),
+        ec_words=_words_batch(ec_p),
+        sa_words=_words_batch(sa_p),
+        signature=bn.ints_to_limbs_batch(
+            [pp["signature"] for pp in passports], k),
+        pubkey=bn.ints_to_limbs_batch(mods, k),
+        pubkey_mu=bn.barrett_mu_batch(mods, k),
+        slave_root=fr.batch_to_limbs([pp["slave_root"] for pp in passports]),
+        slave_branches=np.stack(
+            [fr.batch_to_limbs([pp["slave_branches"][i] for pp in passports])
+             for i in range(80)], axis=1),
+    )
+    return RegisterIdentityInputs(
+        passport=passport_inp,
+        sk_identity=fr.batch_to_limbs(
+            [pp["sk_identity"] for pp in passports]),
+    )

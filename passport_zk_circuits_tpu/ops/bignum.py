@@ -108,7 +108,39 @@ def _bcast_limbs(x, bshape):
     return jnp.broadcast_to(x, (k,) + tuple(bshape))
 
 
-_SCAN_MIN = 48   # above this limb count, carry/borrow chains go through scan
+def _resolve_carry(g, p):
+    """Carry-lookahead: given per-limb generate/propagate bits (disjoint,
+    in {0,1}, shape (k, *B)), return (cin (k, *B), carry_out (*B,)) where
+    cin_i = g_{i-1} | (p_{i-1} & cin_{i-1}), cin_0 = 0.
+
+    k <= 31: bit-packed into one uint32 lane per batch element; the carries
+    of the integer addition G + (G|P) are exactly the lookahead recurrence
+    (maj(g, g|p, c) = g | (p & c) for disjoint g, p), so the whole ripple
+    collapses to ~10 flat vector ops — no sequential chain, no scan.
+    Larger k: log-depth Kogge-Stone on (g, p) pairs."""
+    k = g.shape[0]
+    bshape = g.shape[1:]
+    if k <= 31:
+        pw = np.uint32(1) << np.arange(k, dtype=np.uint32)
+        pw = pw.reshape((k,) + (1,) * len(bshape))
+        G = (g * pw).sum(axis=0, dtype=_u32)
+        P = (p * pw).sum(axis=0, dtype=_u32)
+        Y = G | P
+        S = G + Y
+        cmask = S ^ G ^ Y
+        shifts = np.arange(k, dtype=np.uint32).reshape(
+            (k,) + (1,) * len(bshape))
+        cin = (jnp.broadcast_to(cmask, (k,) + cmask.shape) >> shifts) & 1
+        return cin, (S >> k) & 1
+
+    def combine(lo, hi):
+        gl, pl = lo
+        gh, ph = hi
+        return gh | (ph & gl), ph & pl
+    G, _ = jax.lax.associative_scan(combine, (g, p), axis=0)
+    zero_row = jnp.zeros((1,) + bshape, dtype=_u32)
+    cin = jnp.concatenate([zero_row, G[:-1]], axis=0)
+    return cin, G[-1]
 
 
 def carry_normalize(t, k_out=None):
@@ -117,60 +149,64 @@ def carry_normalize(t, k_out=None):
     t: (m, *batch) uint32 with limb values possibly >= 2^16.
     Returns (k_out, *batch) normalized limbs. High limbs beyond k_out are
     dropped (callers guarantee they carry no value when that matters).
+
+    Constant-depth: one local split pass leaves per-limb carries in {0,1};
+    the remaining ripple is resolved with a log-depth carry-lookahead scan.
     """
     t = _as_u32(t)
     m = t.shape[0]
     k_out = k_out or m
-    carry = jnp.zeros(t.shape[1:], dtype=_u32)
-    if m <= _SCAN_MIN:
-        outs = []
-        for i in range(m):
-            v = t[i] + carry
-            outs.append(v & MASK)
-            carry = v >> W
-    else:
-        def f(c, v):
-            v = v + c
-            return v >> W, v & MASK
-        carry, normed = jax.lax.scan(f, carry, t)
-        if m >= k_out:
-            return normed[:k_out]
-        outs = [normed[i] for i in range(m)]
-    res = outs[:k_out]
-    while len(res) < k_out:
-        res.append(carry & MASK)
+    zero_row = jnp.zeros((1,) + t.shape[1:], dtype=_u32)
+    # pass 1: local split; w < 2^17 - 1 afterwards
+    r = t & MASK
+    c = t >> W
+    w = r + jnp.concatenate([zero_row, c[:-1]], axis=0)
+    carry_top = c[-1]                         # carry out of the top limb
+    # pass 2: 0/1 carries via carry-lookahead
+    l = w & MASK
+    g = w >> W                                # in {0, 1}
+    p = (l == MASK).astype(_u32)
+    cin, carry_out = _resolve_carry(g, p)
+    out = (l + cin) & MASK
+    if k_out <= m:
+        return out[:k_out]
+    # extend with the top carries (each < 2^16: carry_out in {0,1},
+    # carry_top only when the caller sized the input with real headroom)
+    extra = [(carry_out + carry_top) & MASK]
+    carry = (carry_out + carry_top) >> W
+    while len(extra) < k_out - m:
+        extra.append(carry & MASK)
         carry = carry >> W
-    return jnp.stack(res, axis=0)
+    return jnp.concatenate([out, jnp.stack(extra, axis=0)], axis=0)
 
 
 @functools.lru_cache(maxsize=None)
 def _conv_matrix(n: int, m: int):
-    """One-hot (n+m, n*m) f32 matrix: row d sums outer-product entries with
-    i+j == d. Contraction of integer-valued f32 < 2^24 is exact."""
-    D = np.zeros((n + m, n * m), np.float32)
+    """One-hot (n+m, 2*n*m) f32 matrix: the left half sums low product
+    halves onto diagonal i+j, the right half sums high halves onto i+j+1 —
+    one matmul computes the whole exact convolution. Contraction of
+    integer-valued f32 < 2^24 is exact."""
+    D = np.zeros((n + m, 2 * n * m), np.float32)
     for i in range(n):
         for j in range(m):
             D[i + j, i * m + j] = 1.0
+            D[i + j + 1, n * m + i * m + j] = 1.0
     return D  # numpy on purpose: caching a jnp array can leak tracers
 
 
 def _poly_mul_direct(a, b):
-    """Exact convolution via outer product + one-hot matmul (n, m <= 32).
+    """Exact convolution via outer product + one one-hot matmul (n, m <= 32).
 
     a: (n, *B), b: (m, *B) normalized -> (n+m, *B) overflowed limbs < 2^22.
     """
     n, m = a.shape[0], b.shape[0]
     prod = a[:, None] * b[None, :]                    # (n, m, *B) exact
     bshape = prod.shape[2:]
-    lo = (prod & MASK).astype(jnp.float32).reshape(n * m, -1)
-    hi = (prod >> W).astype(jnp.float32).reshape(n * m, -1)
-    D = _conv_matrix(n, m)
-    conv_lo = jax.lax.dot(D, lo, precision=jax.lax.Precision.HIGHEST)
-    conv_hi = jax.lax.dot(D, hi, precision=jax.lax.Precision.HIGHEST)
-    conv_hi = jnp.concatenate(
-        [jnp.zeros((1, conv_hi.shape[1]), jnp.float32), conv_hi[:-1]], 0)
-    out = (conv_lo + conv_hi).astype(_u32)
-    return out.reshape((n + m,) + bshape)
+    flat = prod.reshape(n * m, -1)
+    halves = jnp.concatenate([flat & MASK, flat >> W], axis=0)
+    out = jax.lax.dot(_conv_matrix(n, m), halves.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
+    return out.astype(_u32).reshape((n + m,) + bshape)
 
 
 _BLOCK = 16
@@ -213,25 +249,18 @@ def poly_mul(a, b):
     return out[:n + m]
 
 def sub_limbs(a, b):
-    """a - b with borrow chain. Returns (diff (k,*B) normalized, borrow (*B,) 0/1)."""
+    """a - b over normalized limbs. Returns (diff (k, *B) normalized,
+    borrow_out (*B,) 0/1). Borrow resolution is log-depth carry-lookahead
+    (generate = a_i < b_i, propagate = a_i == b_i)."""
     a, b = _as_u32(a), _as_u32(b)
-    k = a.shape[0]
     bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a, b = _bcast_limbs(a, bshape), _bcast_limbs(b, bshape)
-    borrow = jnp.zeros(bshape, dtype=_u32)
-    if k <= _SCAN_MIN:
-        outs = []
-        for i in range(k):
-            v = a[i] + BASE - b[i] - borrow
-            outs.append(v & MASK)
-            borrow = 1 - (v >> W)
-        return jnp.stack(outs, axis=0), borrow
-
-    def f(bor, ab):
-        v = ab[0] + BASE - ab[1] - bor
-        return 1 - (v >> W), v & MASK
-    borrow, outs = jax.lax.scan(f, borrow, jnp.stack([a, b], axis=1))
-    return outs, borrow
+    l = (a - b) & MASK                     # uint32 wraparound is exact
+    g = (a < b).astype(_u32)
+    p = (a == b).astype(_u32)
+    bin_, borrow_out = _resolve_carry(g, p)
+    out = (l - bin_) & MASK
+    return out, borrow_out
 
 
 def cond_sub_mod(a, mod_limbs):

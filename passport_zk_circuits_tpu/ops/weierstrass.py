@@ -1,0 +1,296 @@
+"""Batched short-Weierstrass point arithmetic over the registry curves.
+
+Capability twin of /root/reference/circuits/lib/circuits/ec/curve.circom
+(EllipticCurveAdd/Double :107-241, windowed `EllipticCurveScalarMult` w=4
+:359-516, fixed-base `EllipicCurveScalarGeneratorMult` with 8-bit stride
+tables :680-740 backed by the generated ec/powers/*.circom tables).
+
+TPU-native re-design:
+  * points are **Jacobian** (X, Y, Z), infinity = (1, 1, 0); unified
+    addition computes both the add and double paths and selects per batch
+    lane, so the ladder is branch-free (the reference instead burns a
+    "dummy point" G*2^256 through affine formulas, curve.circom:79-144);
+  * the per-instance scalar mult is 4-bit windowed: a 16-entry table built
+    with one scanned add, then scanned (4 doublings + one-hot table select
+    + add) per window;
+  * fixed-base generator mult uses host-generated stride-8 tables (the
+    equivalent of the reference's checked-in 436k-line powers files,
+    regenerated at import and cached as npz) and one scanned mixed-add per
+    byte window.
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import bignum as bn
+from .curves import Curve, CURVES
+
+_CACHE_DIR = pathlib.Path(__file__).parent.parent / "utils" / "constants"
+
+
+class CurveCtx:
+    """Static per-curve limb constants + field helpers."""
+
+    def __init__(self, curve: Curve):
+        self.curve = curve
+        self.k = bn.nlimbs_for_bits(curve.p.bit_length())
+        self.kn = bn.nlimbs_for_bits(curve.n.bit_length())
+        self.p_limbs = bn.int_to_limbs(curve.p, self.k)
+        self.mu_p = bn.barrett_mu(curve.p, self.k)
+        self.n_limbs = bn.int_to_limbs(curve.n, self.kn)
+        self.mu_n = bn.barrett_mu(curve.n, self.kn)
+        self.a_limbs = bn.int_to_limbs(curve.a, self.k)
+        self.b_limbs = bn.int_to_limbs(curve.b, self.k)
+
+    # field ops mod p
+    def mul(self, x, y):
+        return bn.mod_mul(x, y, self.p_limbs, self.mu_p)
+
+    def sqr(self, x):
+        return bn.mod_mul(x, x, self.p_limbs, self.mu_p)
+
+    def add(self, x, y):
+        return bn.add_mod(x, y, self.p_limbs)
+
+    def sub(self, x, y):
+        return bn.sub_mod(x, y, self.p_limbs)
+
+    def inv(self, x):
+        return bn.mod_pow(x, self.curve.p - 2, self.p_limbs, self.mu_p)
+
+    def const(self, v: int, bshape):
+        return bn._bcast_limbs(bn.int_to_limbs(v % self.curve.p, self.k),
+                               bshape)
+
+
+@functools.lru_cache(maxsize=None)
+def ctx(name: str) -> CurveCtx:
+    return CurveCtx(CURVES[name])
+
+
+def _sel(cond, a, b):
+    return jnp.where(cond[None].astype(bool), a, b)
+
+
+def sel_point(cond, P, Q):
+    return tuple(_sel(cond, a, b) for a, b in zip(P, Q))
+
+
+def infinity(c: CurveCtx, bshape):
+    one = c.const(1, bshape)
+    return (one, one, jnp.zeros_like(one))
+
+
+def is_inf(P):
+    return bn.is_zero(P[2])
+
+
+def jac_double(c: CurveCtx, P):
+    """2P in Jacobian coordinates (general a)."""
+    X, Y, Z = P
+    XX = c.sqr(X)
+    YY = c.sqr(Y)
+    YYYY = c.sqr(YY)
+    ZZ = c.sqr(Z)
+    S = c.mul(X, YY)
+    S = c.add(S, S)
+    S = c.add(S, S)                                  # 4*X*Y^2
+    M = c.add(c.add(XX, XX), XX)                     # 3*X^2
+    M = c.add(M, c.mul(c.const(c.curve.a, XX.shape[1:]), c.sqr(ZZ)))
+    X3 = c.sub(c.sqr(M), c.add(S, S))
+    t = c.sub(S, X3)
+    Y8 = YYYY
+    for _ in range(3):
+        Y8 = c.add(Y8, Y8)                           # 8*Y^4
+    Y3 = c.sub(c.mul(M, t), Y8)
+    Z3 = c.mul(c.add(Y, Y), Z)
+    return (X3, Y3, Z3)
+
+
+def jac_add(c: CurveCtx, P, Q):
+    """Unified P + Q handling P==Q, P==-Q, and infinities via selects."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    Z1Z1 = c.sqr(Z1)
+    Z2Z2 = c.sqr(Z2)
+    U1 = c.mul(X1, Z2Z2)
+    U2 = c.mul(X2, Z1Z1)
+    S1 = c.mul(c.mul(Y1, Z2), Z2Z2)
+    S2 = c.mul(c.mul(Y2, Z1), Z1Z1)
+    H = c.sub(U2, U1)
+    R = c.sub(S2, S1)
+    HH = c.sqr(H)
+    HHH = c.mul(H, HH)
+    V = c.mul(U1, HH)
+    X3 = c.sub(c.sub(c.sqr(R), HHH), c.add(V, V))
+    Y3 = c.sub(c.mul(R, c.sub(V, X3)), c.mul(S1, HHH))
+    Z3 = c.mul(c.mul(Z1, Z2), H)
+    added = (X3, Y3, Z3)
+
+    x_eq = bn.is_zero(H)
+    y_eq = bn.is_zero(R)
+    res = sel_point(x_eq & y_eq, jac_double(c, P), added)
+    res = sel_point(x_eq & ~y_eq, infinity(c, X1.shape[1:]), res)
+    res = sel_point(is_inf(P), Q, res)
+    res = sel_point(is_inf(Q), P, res)
+    return res
+
+
+def jac_add_affine(c: CurveCtx, P, qx, qy, q_is_inf):
+    """Mixed addition with an affine point (Z2 = 1)."""
+    one = c.const(1, qx.shape[1:])
+    res = jac_add(c, P, (qx, qy, one))
+    return sel_point(q_is_inf, P, res)
+
+
+def to_affine(c: CurveCtx, P):
+    """Jacobian -> affine with one Fermat inversion; infinity -> (0, 0)."""
+    X, Y, Z = P
+    zi = c.inv(Z)
+    zi2 = c.sqr(zi)
+    x = c.mul(X, zi2)
+    y = c.mul(Y, c.mul(zi, zi2))
+    inf = is_inf(P)
+    return _sel(inf, jnp.zeros_like(x), x), _sel(inf, jnp.zeros_like(y), y)
+
+
+def scalar_mul_window(c: CurveCtx, scalar_limbs, qx, qy):
+    """Per-instance-point scalar mult, 4-bit windows MSB-first
+    (EllipticCurveScalarMult w=4 analog, curve.circom:359-516).
+
+    scalar_limbs: (kn, *B) limbs of the scalar; (qx, qy): affine point.
+    Returns Jacobian."""
+    bshape = qx.shape[1:]
+    nbits = c.kn * 16
+    nwin = nbits // 4
+
+    # table[i] = i*Q, i = 0..15, built with one scanned add
+    base = (qx, qy, c.const(1, bshape))
+
+    def build(acc, _):
+        acc = jac_add(c, acc, base)
+        return acc, acc
+
+    _, tbl = jax.lax.scan(build, infinity(c, bshape), None, length=15)
+    table = tuple(jnp.concatenate([infinity(c, bshape)[i][None], t], axis=0)
+                  for i, t in enumerate(tbl))       # each (16, k, *B)
+
+    # window values MSB-first: limb (kn-1-w//4), nibble (3 - w%4)
+    wins = []
+    for wdx in range(nwin):
+        limb = scalar_limbs[c.kn - 1 - wdx // 4]
+        wins.append((limb >> (4 * (3 - wdx % 4))) & 0xF)
+    wins = jnp.stack(wins, axis=0)                  # (nwin, *B)
+
+    idx16 = np.arange(16, dtype=np.uint32).reshape((16,) + (1,) * len(bshape))
+
+    def step(acc, win):
+        for _ in range(4):
+            acc = jac_double(c, acc)
+        onehot = (win[None] == idx16)               # (16, *B)
+        sel = tuple(
+            jnp.sum(t * onehot[:, None].astype(jnp.uint32), axis=0)
+            for t in table)                         # (k, *B)
+        acc = jac_add(c, acc, sel)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, infinity(c, bshape), wins)
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _fixed_base_table(name: str):
+    """Stride-8 fixed-base tables: table[w, j] = (j * 2^(8w)) * G affine,
+    j=0..255 (j=0 stored as (0,0) + inf flag). Host-generated (the analog of
+    regenerating the reference's missing ec/powers blobs, curve.circom:44-47)
+    and cached under utils/constants."""
+    c = CURVES[name]
+    kf = bn.nlimbs_for_bits(c.p.bit_length())
+    nwin = -(-c.n.bit_length() // 8)
+    cache = _CACHE_DIR / f"fixed_base_{name}.npz"
+    if cache.exists():
+        d = np.load(cache)
+        return d["x"], d["y"], d["inf"]
+
+    p, a = c.p, c.a
+
+    def add(P, Q):
+        if P is None:
+            return Q
+        if Q is None:
+            return P
+        x1, y1 = P
+        x2, y2 = Q
+        if x1 == x2 and (y1 + y2) % p == 0:
+            return None
+        if P == Q:
+            lam = (3 * x1 * x1 + a) * pow(2 * y1, -1, p) % p
+        else:
+            lam = (y2 - y1) * pow(x2 - x1, -1, p) % p
+        x3 = (lam * lam - x1 - x2) % p
+        return (x3, (lam * (x1 - x3) - y1) % p)
+
+    xs = np.zeros((nwin, 256, kf), np.uint32)
+    ys = np.zeros((nwin, 256, kf), np.uint32)
+    infs = np.zeros((nwin, 256), bool)
+    stride_base = (c.gx, c.gy)
+    for w in range(nwin):
+        acc = None
+        for j in range(256):
+            if acc is None:
+                infs[w, j] = True
+            else:
+                xs[w, j] = bn.int_to_limbs(acc[0], kf)
+                ys[w, j] = bn.int_to_limbs(acc[1], kf)
+            acc = add(acc, stride_base)
+        # next stride base = 2^8 * current
+        for _ in range(8):
+            stride_base = add(stride_base, stride_base)
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(cache, x=xs, y=ys, inf=infs)
+    return xs, ys, infs
+
+
+def fixed_base_mul(c: CurveCtx, scalar_limbs):
+    """scalar * G via stride-8 precomputed tables
+    (EllipicCurveScalarGeneratorMult analog, curve.circom:680-740).
+    scalar_limbs: (kn, *B). Returns Jacobian."""
+    name = c.curve.name
+    xs, ys, infs = _fixed_base_table(name)
+    nwin = xs.shape[0]
+    bshape = scalar_limbs.shape[1:]
+    idx256 = np.arange(256, dtype=np.uint32).reshape(
+        (256,) + (1,) * len(bshape))
+
+    # byte w of the scalar (little-endian): limb w//2, half w%2
+    bytes_ = []
+    for w in range(nwin):
+        limb = scalar_limbs[w // 2]
+        bytes_.append((limb >> (8 * (w % 2))) & 0xFF)
+    bytes_ = jnp.stack(bytes_, axis=0)              # (nwin, *B)
+
+    kf = xs.shape[2]
+
+    def step(acc, xsel):
+        byte, tx, ty, tinf = xsel    # (*B,), (256, k), (256, k), (256,)
+        onehot = (byte[None] == idx256).astype(jnp.uint32)   # (256, *B)
+        oh = onehot[:, None]                                 # (256, 1, *B)
+        shape = (256, kf) + (1,) * len(bshape)
+        qx = jnp.sum(tx.reshape(shape) * oh, axis=0)         # (k, *B)
+        qy = jnp.sum(ty.reshape(shape) * oh, axis=0)
+        qinf = jnp.sum(tinf.astype(jnp.uint32).reshape(
+            (256,) + (1,) * len(bshape)) * onehot, axis=0).astype(bool)
+        acc = jac_add_affine(c, acc, qx, qy, qinf)
+        return acc, None
+
+    acc = infinity(c, bshape)
+    acc, _ = jax.lax.scan(
+        step, acc,
+        (bytes_, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(infs)))
+    return acc
