@@ -51,16 +51,32 @@ def build_register_inputs(p: CircuitParams, passports) -> RegisterIdentityInputs
         dg15_p = [b"\x00" * (p.dg15_block_number * p.dg_hash_block_size // 8)
                   for pp in passports]
 
-    mods = [pp["pubkey"] for pp in passports]
+    if sig.family == "ecdsa":
+        # pubkey = (X, Y), signature = (r, s); key_bits = 2 * field bits
+        kf = sig.key_bits // 32
+        pubkey = np.concatenate([
+            bn.ints_to_limbs_batch([pp["pubkey"][0] for pp in passports], kf),
+            bn.ints_to_limbs_batch([pp["pubkey"][1] for pp in passports], kf),
+        ], axis=0)
+        signature = np.concatenate([
+            bn.ints_to_limbs_batch([pp["signature"][0] for pp in passports], kf),
+            bn.ints_to_limbs_batch([pp["signature"][1] for pp in passports], kf),
+        ], axis=0)
+        mu = np.zeros((k + 1, len(passports)), dtype=np.uint32)  # unused
+    else:
+        mods = [pp["pubkey"] for pp in passports]
+        pubkey = bn.ints_to_limbs_batch(mods, k)
+        signature = bn.ints_to_limbs_batch(
+            [pp["signature"] for pp in passports], k)
+        mu = bn.barrett_mu_batch(mods, k)
     passport_inp = PassportInputs(
         dg1_words=_words_batch(dg1_p),
         dg15_words=_words_batch(dg15_p),
         ec_words=_words_batch(ec_p),
         sa_words=_words_batch(sa_p),
-        signature=bn.ints_to_limbs_batch(
-            [pp["signature"] for pp in passports], k),
-        pubkey=bn.ints_to_limbs_batch(mods, k),
-        pubkey_mu=bn.barrett_mu_batch(mods, k),
+        signature=signature,
+        pubkey=pubkey,
+        pubkey_mu=mu,
         slave_root=fr.batch_to_limbs([pp["slave_root"] for pp in passports]),
         slave_branches=np.stack(
             [fr.batch_to_limbs([pp["slave_branches"][i] for pp in passports])

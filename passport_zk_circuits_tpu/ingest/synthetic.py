@@ -44,12 +44,17 @@ def make_synthetic_passport(p: CircuitParams, rng: random.Random,
     ints, sk_identity, and the slave-SMT anchors.
     """
     sig = p.sig
-    if sig.family not in ("rsa", "rsapss"):
-        raise NotImplementedError("synthetic ECDSA passports arrive with "
-                                  "the ECDSA op milestone")
-    if signer_key is None:
-        signer_key = gen_rsa_key(sig.key_bits, rng, sig.exp)
-    n, e, d = signer_key
+    if sig.family == "ecdsa":
+        from ..ops.curves import CURVES
+        from ..utils import ecdsa_ref
+        curve = CURVES[sig.curve]
+        if signer_key is None:
+            signer_key = ecdsa_ref.keygen(curve, rng)
+        d_ec, q_ec = signer_key
+    else:
+        if signer_key is None:
+            signer_key = gen_rsa_key(sig.key_bits, rng, sig.exp)
+        n, e, d = signer_key
 
     dg_hb = p.dg_hash_block_size
     sig_hb = p.sig_hash_block_size
@@ -102,18 +107,27 @@ def make_synthetic_passport(p: CircuitParams, rng: random.Random,
     sa_digest = _hash(sa, sig.hash_len)
     if sig.family == "rsa":
         signature = rsa_ops.sign_pkcs1v15(sa_digest, d, n, sig.key_bits)
-    else:
+        pubkey = n
+        pubkey_hash = rsa_pubkey_hash_oracle(n)
+    elif sig.family == "rsapss":
         from ..ops import rsapss
         signature = rsapss.sign_pss(sa_digest, d, n, sig.key_bits,
                                     sig.salt_len, rng)
+        pubkey = n
+        pubkey_hash = rsa_pubkey_hash_oracle(n)
+    else:
+        from ..utils import ecdsa_ref
+        signature = ecdsa_ref.sign(curve, d_ec, sa_digest, rng)  # (r, s)
+        pubkey = q_ec                                            # (X, Y)
+        pubkey_hash = ecdsa_pubkey_hash_oracle(q_ec[0], q_ec[1],
+                                               sig.key_bits // 2)
 
     sk_identity = rng.randrange(1, pref.P)
-    pubkey_hash = rsa_pubkey_hash_oracle(n)
     slave_root = pref.poseidon([pubkey_hash, pubkey_hash, 1])
 
     return {
         "dg1": dg1, "dg15": dg15, "ec": ec, "sa": sa,
-        "signature": signature, "pubkey": n,
+        "signature": signature, "pubkey": pubkey,
         "sk_identity": sk_identity,
         "slave_root": slave_root,
         "slave_branches": [0] * 80,
@@ -165,6 +179,14 @@ def rsa_pubkey_hash_oracle(n: int) -> int:
     chunks = [(l64[3 * i] << 128) + (l64[3 * i + 1] << 64) + l64[3 * i + 2]
               for i in range(5)]
     return pref.poseidon(chunks)
+
+
+def ecdsa_pubkey_hash_oracle(x: int, y: int, field_bits: int) -> int:
+    """Poseidon2(X, Y) truncated to the low min(field, 248) bits
+    (passportVerificationBuilder.circom:193-231)."""
+    keep = min(field_bits, 248)
+    mask = (1 << keep) - 1
+    return pref.poseidon([x & mask, y & mask])
 
 
 def dg1_commitment_oracle(dg1: bytes, document_type: int,

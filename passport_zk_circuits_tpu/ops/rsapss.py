@@ -32,51 +32,9 @@ def _em_byte(em_limbs, n_bytes: int, j: int):
     return (em_limbs[le // 2] >> (8 * (le % 2))) & 0xFF
 
 
-def _bytes_to_words(byte_rows):
-    """List of n (B,)-tensors/ints (big-endian byte stream, n % 4 == 0) ->
-    (n/4, B) uint32 words."""
-    words = []
-    for w in range(len(byte_rows) // 4):
-        acc = None
-        for t in range(4):
-            b = byte_rows[4 * w + t]
-            term = b << (8 * (3 - t)) if not isinstance(b, int) else None
-            if isinstance(b, int):
-                term = jnp.uint32(b << (8 * (3 - t)))
-            acc = term if acc is None else acc + term
-        words.append(acc)
-    return words
-
-
 def _sha_device(byte_rows, algo: int, bshape):
-    """Digest of a short byte stream (static length) on device.
-    byte_rows: list of per-byte (B,) tensors or int constants."""
-    msg = bytes_pad_rows(byte_rows, sha2.ALGO_BITS[algo])
-    words = _bytes_to_words(msg)
-    words = [jnp.broadcast_to(jnp.asarray(w, dtype=jnp.uint32), bshape)
-             if not hasattr(w, "shape") or w.shape != bshape else w
-             for w in words]
-    stacked = jnp.stack(words, axis=0)
-    if algo in (384, 512):
-        stacked = stacked.reshape((stacked.shape[0] // 2, 2) + bshape)
-    dw = sha2.sha_hash_chunks(stacked, algo)
-    if algo in (384, 512):
-        dw = dw.reshape((dw.shape[0] * 2,) + bshape)
-    out = []
-    for j in range(dw.shape[0] * 4):
-        out.append((dw[j // 4] >> (8 * (3 - j % 4))) & 0xFF)
-    return out
-
-
-def bytes_pad_rows(byte_rows, block_bits: int):
-    """MD-pad a static-length per-byte row list."""
-    L = len(byte_rows) * 8
-    lenfield = 8 if block_bits == 512 else 16
-    rows = list(byte_rows) + [0x80]
-    while (len(rows) + lenfield) % (block_bits // 8) != 0:
-        rows.append(0)
-    rows += list(L.to_bytes(lenfield, "big"))
-    return rows
+    """Digest of a short byte stream (static length) on device."""
+    return sha2.sha_hash_byte_rows(byte_rows, algo, bshape)
 
 
 def mgf1(seed_bytes, out_len: int, algo: int, bshape):

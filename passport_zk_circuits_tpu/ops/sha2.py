@@ -388,3 +388,49 @@ def sha_hash_bytes_host(data: bytes, algo: int) -> bytes:
     name = {160: "sha1", 224: "sha224", 256: "sha256",
             384: "sha384", 512: "sha512"}[algo]
     return hashlib.new(name, data).digest()
+
+
+# ---------------------------------------------------------------------------
+# In-graph hashing of composed byte streams — ShaHashBits analog
+# (hash.circom:70: static-length input, padding applied in-circuit). Used
+# when the message is *computed* on device (MGF1 counters, EM bytes, ...).
+# ---------------------------------------------------------------------------
+
+def pad_byte_rows(byte_rows, block_bits: int):
+    """MD-pad a static-length list of per-byte rows ((*B,) tensors or int
+    constants)."""
+    L = len(byte_rows) * 8
+    lenfield = 8 if block_bits == 512 else 16
+    rows = list(byte_rows) + [0x80]
+    while (len(rows) + lenfield) % (block_bits // 8) != 0:
+        rows.append(0)
+    rows += list(L.to_bytes(lenfield, "big"))
+    return rows
+
+
+def byte_rows_to_words(byte_rows, bshape):
+    """4-byte big-endian packing of per-byte rows -> list of (*B,) words."""
+    words = []
+    for w in range(len(byte_rows) // 4):
+        acc = jnp.zeros(bshape, dtype=_u32)
+        for t in range(4):
+            b = byte_rows[4 * w + t]
+            if isinstance(b, int):
+                acc = acc + jnp.uint32(b << (8 * (3 - t)))
+            else:
+                acc = acc + (b << (8 * (3 - t)))
+        words.append(acc)
+    return words
+
+
+def sha_hash_byte_rows(byte_rows, algo: int, bshape):
+    """Digest of a static-length byte-row stream, returned as byte rows."""
+    msg = pad_byte_rows(byte_rows, ALGO_BITS[algo])
+    words = jnp.stack(byte_rows_to_words(msg, bshape), axis=0)
+    if algo in (384, 512):
+        words = words.reshape((words.shape[0] // 2, 2) + bshape)
+    dw = sha_hash_chunks(words, algo)
+    if algo in (384, 512):
+        dw = dw.reshape((dw.shape[0] * 2,) + bshape)
+    return [(dw[j // 4] >> (8 * (3 - j % 4))) & 0xFF
+            for j in range(dw.shape[0] * 4)]
