@@ -116,6 +116,13 @@ CURVES = {c.name: c for c in [
        0x81aee4bdd82ed9645a21322e9c4c6a9385ed9f70b5d916c1b43b62eef4d0098eff3b1f78e2d0d48d50d1687b93b97d5f7c6d5047406a5e688b352209bcb9f822,
        0x7dde385d566332ecc0eabfa9cf7822fdf209f70024a57b1aa000c55b881f8111b2dcde494a5f485e5bca4bd88a2763aed1ca2b2fa8f0540678cd1e0f3ad80892,
        0xaadd9db8dbe9c48b3fd4e6ae33c9fc07cb308db3b3c9d20ed6639cca70330870553e5c414ca92619418661197fac10471db1d381085ddaddb58796829ca90069),
+    _c("bn254_g1",
+       21888242871839275222246405745257275088696311157297823662689037894645226208583,
+       0,
+       3,
+       1,
+       2,
+       21888242871839275222246405745257275088548364400416034343698204186575808495617),
 ]}
 
 

@@ -84,3 +84,50 @@ def verify(curve_name: str, pk_x, pk_y, signature, hash_bits):
     ok = ok & on_curve(c, pk_x, pk_y)
     ok = ok & ~wst.is_inf(R)
     return ok
+
+
+def verify_blinded(curve_name: str, pk_x, pk_y, signature, hash_bits,
+                   beta, alpha_x, alpha_y):
+    """Blinded-verification variant — capability twin of the experimental
+    signatures/ecdsaBeta.circom:22-128: the prover supplies a random ~80-bit
+    blind `beta` and the precomputed point alpha = beta * s^-1 * r * PK; the
+    verifier checks   beta*R == (beta * s^-1 * h) * G + alpha   and
+    x(R) mod n == r, where R = u1*G + u2*PK is computed cheaply (the
+    reference computes it with zero-constraint witness ops,
+    ec/curveUnconstrained.circom).
+
+    beta: (kn, *B) limbs (value < 2^80); alpha_*: (k, *B) affine coords.
+    Returns bool (*B,)."""
+    c = wst.ctx(curve_name)
+    kn = c.kn
+    r = signature[:kn]
+    s = signature[kn:2 * kn]
+    h = hash_bits_to_limbs(hash_bits, kn)
+
+    s_inv = bn.mod_pow(s, c.curve.n - 2, c.n_limbs, c.mu_n)
+    h_mod = bn.barrett_reduce(jnp.concatenate([h, jnp.zeros_like(h)], 0),
+                              c.n_limbs, c.mu_n)
+    u1 = bn.mod_mul(s_inv, h_mod, c.n_limbs, c.mu_n)
+    u2 = bn.mod_mul(s_inv, r, c.n_limbs, c.mu_n)
+
+    # R = u1*G + u2*PK (the "unconstrained" path of the reference)
+    R = wst.jac_add(c, wst.fixed_base_mul(c, u1),
+                    wst.scalar_mul_window(c, u2, pk_x, pk_y))
+    rx, ry = wst.to_affine(c, R)
+
+    # left: beta * R (80-bit scalar, EllipticCurveIntScalarMult analog)
+    left = wst.scalar_mul_window(c, beta, rx, ry)
+    lx, ly = wst.to_affine(c, left)
+
+    # right: (beta * u1 mod n) * G + alpha
+    bu1 = bn.mod_mul(beta, u1, c.n_limbs, c.mu_n)
+    right = wst.jac_add_affine(c, wst.fixed_base_mul(c, bu1),
+                               alpha_x, alpha_y,
+                               bn.is_zero(alpha_x) & bn.is_zero(alpha_y))
+    rxr, ryr = wst.to_affine(c, right)
+
+    ok = bn.eq(lx, rxr) & bn.eq(ly, ryr)
+    rx_mod_n = bn.barrett_reduce(
+        jnp.concatenate([rx, jnp.zeros_like(rx)], 0), c.n_limbs, c.mu_n)
+    ok = ok & bn.eq(rx_mod_n, r) & ~bn.is_zero(r) & ~bn.is_zero(s)
+    return ok
