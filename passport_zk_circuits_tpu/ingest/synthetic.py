@@ -66,15 +66,30 @@ def make_synthetic_passport(p: CircuitParams, rng: random.Random,
     # DG15: active-auth public-key blob
     dg15 = b""
     if p.aa_signature_algo != 0:
-        if p.aa_signature_algo >= 20:
-            raise NotImplementedError("ECDSA active-auth fixtures pending")
-        if aa_key is None:
-            aa_key = gen_rsa_key(1024, rng)
-        aa_n = aa_key[0]
         cap = p.dg15_block_number * dg_hb // 8 - (9 if dg_hb == 512 else 17)
-        body_len = cap
-        body = bytearray(_rand_bytes(rng, body_len))
-        body[p.aa_shift // 8:p.aa_shift // 8 + 128] = aa_n.to_bytes(128, "big")
+        body = bytearray(_rand_bytes(rng, cap))
+        if p.aa_signature_algo < 20:
+            # RSA-1024 modulus at aa_shift
+            if aa_key is None:
+                aa_key = gen_rsa_key(1024, rng)
+            body[p.aa_shift // 8:p.aa_shift // 8 + 128] = \
+                aa_key[0].to_bytes(128, "big")
+        else:
+            # ECDSA AA: X then Y raw coords at aa_shift
+            # (identity.circom:51-84 layout)
+            from ..ops.curves import CURVES
+            from ..utils import ecdsa_ref
+            aa_curve = {20: "p256", 21: "brainpoolP256r1",
+                        22: "brainpoolP320r1",
+                        23: "secp192r1"}[p.aa_signature_algo]
+            cv = CURVES[aa_curve]
+            fb = {20: 32, 21: 32, 22: 40, 23: 24}[p.aa_signature_algo]
+            if aa_key is None:
+                aa_key = ecdsa_ref.keygen(cv, rng)
+            qx, qy = aa_key[1]
+            off = p.aa_shift // 8
+            body[off:off + fb] = qx.to_bytes(fb, "big")
+            body[off + fb:off + 2 * fb] = qy.to_bytes(fb, "big")
         dg15 = bytes(body)
 
     # encapsulated content: digests of dg1/dg15 at the compile-time shifts

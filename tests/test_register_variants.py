@@ -83,3 +83,17 @@ def test_register_identity_light():
         import hashlib
         want = int.from_bytes(hashlib.sha256(dg1).digest(), "big") % (1 << 248)
         assert fr.batch_from_limbs(out["dg1_hash"])[j] == want
+
+
+def test_ecdsa_active_auth():
+    """AA algo 20 (p256): dg15 carries X||Y; dg15PubKeyHash = Poseidon2 of
+    truncated coords."""
+    p = CircuitParams(signature_type=1, dg_hash_type=256, document_type=3,
+                      ec_block_number=4, ec_shift=600, dg1_shift=248,
+                      aa_signature_algo=20, dg15_shift=1496,
+                      dg15_block_number=3, aa_shift=256)
+    pps, out = _run(p)
+    _check(p, pps, out)
+    got = fr.batch_from_limbs(out["dg15_pubkey_hash"])
+    want = [synthetic.dg15_pubkey_hash_oracle(p, pp["dg15"]) for pp in pps]
+    assert got == want
