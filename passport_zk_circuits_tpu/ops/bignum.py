@@ -51,19 +51,19 @@ def int_to_limbs(x: int, k: int) -> np.ndarray:
     """Python int -> (k,) uint32 limb array (little-endian base 2^16)."""
     if x < 0:
         raise ValueError("negative")
-    out = np.zeros(k, dtype=np.uint32)
-    for i in range(k):
-        out[i] = x & MASK
-        x >>= W
-    if x:
+    try:
+        raw = x.to_bytes(2 * k, "little")
+    except OverflowError:
         raise ValueError(f"{k} limbs too small")
-    return out
+    return np.frombuffer(raw, dtype="<u2").astype(np.uint32)
 
 
 def limbs_to_int(a) -> int:
-    """(k,) limb array (any overflow state) -> Python int."""
-    a = np.asarray(jax.device_get(a), dtype=np.uint64)
-    return sum(int(v) << (W * i) for i, v in enumerate(a))
+    """(k,) limb array (normalized) -> Python int."""
+    a = np.asarray(jax.device_get(a))
+    if (a <= MASK).all():
+        return int.from_bytes(a.astype("<u2").tobytes(), "little")
+    return sum(int(v) << (W * i) for i, v in enumerate(a.astype(np.uint64)))
 
 
 def ints_to_limbs_batch(xs, k: int) -> np.ndarray:
@@ -74,6 +74,9 @@ def ints_to_limbs_batch(xs, k: int) -> np.ndarray:
 def limbs_to_ints_batch(a) -> list:
     a = np.asarray(jax.device_get(a))
     flat = a.reshape(a.shape[0], -1)
+    if (flat <= MASK).all():
+        cols = np.ascontiguousarray(flat.T).astype("<u2")
+        return [int.from_bytes(row.tobytes(), "little") for row in cols]
     return [sum(int(flat[i, j]) << (W * i) for i in range(a.shape[0]))
             for j in range(flat.shape[1])]
 
