@@ -40,8 +40,8 @@ def get_bits(words, bit_off: int, n: int):
     return jnp.stack([get_bit(words, bit_off + j) for j in range(n)], 0)
 
 
-def bits_to_fr(bits, msb_first: bool = True):
-    """Recompose a bit tensor (n, *B) into Fr limbs (16, *B).
+def bits_to_limbs(bits, k: int, msb_first: bool = True):
+    """Recompose a bit tensor (n, *B) into (k, *B) 16-bit limbs.
 
     msb_first=True: value = sum bits[i] * 2^(n-1-i) (big-endian Bits2Num
     wiring, e.g. identity.circom:34). msb_first=False: value =
@@ -49,17 +49,21 @@ def bits_to_fr(bits, msb_first: bool = True):
     passportHash 252-bit recompose, identity.circom:100,
     passportVerificationBuilder.circom:165-177)."""
     n = bits.shape[0]
-    order = range(n - 1, -1, -1) if msb_first else range(n)
     limbs = []
-    for limb in range(fr.NLIMBS):
+    for limb in range(k):
         acc = jnp.zeros(bits.shape[1:], dtype=jnp.uint32)
         for off in range(16):
-            j = limb * 16 + off
+            j = limb * 16 + off          # weight 2^j
             if j < n:
-                src = bits[list(order)[j]] if msb_first else bits[j]
+                src = bits[n - 1 - j] if msb_first else bits[j]
                 acc = acc | (src << off)
         limbs.append(acc)
     return jnp.stack(limbs, axis=0)
+
+
+def bits_to_fr(bits, msb_first: bool = True):
+    """Recompose a bit tensor (n, *B) into Fr limbs (16, *B)."""
+    return bits_to_limbs(bits, fr.NLIMBS, msb_first)
 
 
 def word_slice_to_fr(words, bit_off: int, n: int, msb_first: bool = True):

@@ -22,19 +22,10 @@ def hash_bits_to_limbs(hash_bits, kn: int):
     """Big-endian hash bit tensor (nbits, *B) -> (kn, *B) limbs (the
     bits2num-then-chunk step, ecdsa.circom:33-40). If the hash is wider
     than the order field, the leftmost bits are kept (standard ECDSA)."""
-    nbits = hash_bits.shape[0]
-    if nbits > kn * 16:
+    from . import bitops
+    if hash_bits.shape[0] > kn * 16:
         hash_bits = hash_bits[:kn * 16]
-        nbits = kn * 16
-    limbs = []
-    for limb in range(kn):
-        acc = jnp.zeros(hash_bits.shape[1:], dtype=jnp.uint32)
-        for off in range(16):
-            j = limb * 16 + off          # bit weight 2^j
-            if j < nbits:
-                acc = acc | (hash_bits[nbits - 1 - j] << off)
-        limbs.append(acc)
-    return jnp.stack(limbs, axis=0)
+    return bitops.bits_to_limbs(hash_bits, kn, msb_first=True)
 
 
 def on_curve(c: wst.CurveCtx, x, y):
