@@ -1,0 +1,336 @@
+"""Groth16 zkSNARK over BN254 — setup / prove / verify.
+
+Replaces the reference's snarkjs pipeline
+(/root/reference/circuits/scripts/export-keys.sh:27-31 groth16 setup,
+prove.sh:25-27 groth16 prove, verify.sh:19-21 groth16 verify) with an
+in-framework implementation over our R1CS (`r1cs.system.ConstraintSystem`).
+
+Division of labor:
+  * `setup`   — host-side (Python ints). Samples toxic waste from a seeded
+    DRBG (TEST/DEV ONLY — a production ceremony must replace this), builds
+    the QAP by evaluating Lagrange bases at tau, and emits the proving key
+    both as ints (G2 pieces) and as device limb tensors (G1 query tables
+    for the MSMs).
+  * `prove`   — the hot path, on device: Az/Bz/Cz via the batched sparse
+    matvec, h(X) = (AzBz-Cz)/Z via coset NTT over Fr (ops/ntt), and the
+    A/B1/K/H multi-scalar multiplications via ops/msm on bn254_g1. Handles
+    a BATCH of witnesses at once (one proof per batch lane). G2 work
+    (pi_B) is a single sparse combination done host-side.
+  * `verify`  — host-side pairing product (groth16/pairing.py):
+    e(A,B) = e(alpha,beta) e(sum_pub, gamma) e(C, delta).
+
+QAP domain: size m = next power of two >= n_constraints, multiplicative
+subgroup of Fr (2-adicity 28, ops/ntt.root_of_unity). Public wires are
+0..n_public (wire 0 is the constant 1, as in circom/snarkjs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import random
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import bignum as bn
+from ..ops import field as fr
+from ..ops import ntt as _ntt
+from ..ops import msm as _msm
+from ..ops.weierstrass import ctx as _wctx
+from ..r1cs.system import ConstraintSystem, _sparse_matvec
+from . import pairing as pr
+
+_COSET_G = 5            # Fr multiplicative generator (ops/ntt._GEN)
+
+
+# -- key / proof containers ---------------------------------------------------
+
+@dataclasses.dataclass
+class ProvingKey:
+    n_public: int                       # public wires are 1..n_public
+    domain_size: int
+    alpha1: tuple                       # int affine G1 points (x, y)
+    beta1: tuple
+    delta1: tuple
+    beta2: tuple                        # FQ2 affine G2 points
+    delta2: tuple
+    a_query: np.ndarray                 # (2, k, n_vars) G1 affine limb tensors
+    b1_query: np.ndarray
+    k_query: np.ndarray                 # (2, k, n_vars - n_public - 1)
+    h_query: np.ndarray                 # (2, k, m - 1)
+    b2_query: list                      # list of FQ2 affine points / None
+    a_inf: np.ndarray                   # bool masks: query point is infinity
+    b1_inf: np.ndarray
+    k_inf: np.ndarray
+
+
+@dataclasses.dataclass
+class VerifyingKey:
+    n_public: int
+    alpha1: tuple
+    beta2: tuple
+    gamma2: tuple
+    delta2: tuple
+    ic: list                            # n_public + 1 int affine G1 points
+
+
+@dataclasses.dataclass
+class Proof:
+    a: tuple                            # int affine G1
+    b: tuple                            # FQ2 affine G2
+    c: tuple                            # int affine G1
+
+
+# -- host EC helpers (ints / FQ-objects via groth16.pairing) ------------------
+
+def _g1_mul(k: int):
+    pt = pr.ec_mul(pr.G1, k)
+    return None if pt is None else (pt[0].coeffs[0], pt[1].coeffs[0])
+
+
+def _g1_wrap(pt):
+    return None if pt is None else (pr.FQ1([pt[0]]), pr.FQ1([pt[1]]))
+
+
+def _g1_unwrap(pt):
+    return None if pt is None else (pt[0].coeffs[0], pt[1].coeffs[0])
+
+
+def _g1_points_to_limbs(points) -> Tuple[np.ndarray, np.ndarray]:
+    """Affine int points (None = infinity, stored as (0,0)) -> limb tensor
+    (2, k, N) + infinity mask. The MSM path zeroes infinity scalars instead
+    (scalar 0 -> jacobian infinity), so (0,0) placeholders never enter adds."""
+    c = _wctx("bn254_g1")
+    n = len(points)
+    xs = np.zeros((c.k, n), np.uint32)
+    ys = np.zeros((c.k, n), np.uint32)
+    inf = np.zeros(n, bool)
+    for i, pt in enumerate(points):
+        if pt is None:
+            inf[i] = True
+        else:
+            xs[:, i] = bn.int_to_limbs(pt[0], c.k)
+            ys[:, i] = bn.int_to_limbs(pt[1], c.k)
+    return np.stack([xs, ys]), inf
+
+
+# -- setup --------------------------------------------------------------------
+
+def _lagrange_at_tau(m: int, tau: int) -> List[int]:
+    """L_i(tau) for the size-m subgroup: L_i(tau) = w^i (tau^m - 1)/(m (tau - w^i))."""
+    w = _ntt.root_of_unity(m.bit_length() - 1)
+    zh = (pow(tau, m, fr.P) - 1) % fr.P
+    if zh == 0:
+        raise ValueError("tau landed in the domain; re-seed")
+    out = []
+    wi = 1
+    m_inv = pow(m, fr.P - 2, fr.P)
+    for _ in range(m):
+        denom = (tau - wi) % fr.P
+        out.append(wi * zh % fr.P * m_inv % fr.P
+                   * pow(denom, fr.P - 2, fr.P) % fr.P)
+        wi = wi * w % fr.P
+    return out
+
+
+def setup(cs: ConstraintSystem, n_public: int, seed: int = 0):
+    """Build (ProvingKey, VerifyingKey). Toxic waste from `seed` — dev only."""
+    rng = random.Random(("groth16-setup", seed).__repr__())
+    tau, alpha, beta, gamma, delta = (rng.randrange(1, fr.P) for _ in range(5))
+
+    m = 1 << max(1, (cs.n_constraints - 1).bit_length())
+    lag = _lagrange_at_tau(m, tau)
+
+    nv = cs.n_vars
+    u = [0] * nv
+    v = [0] * nv
+    w_ = [0] * nv
+    for (acc, mat) in ((u, cs.a), (v, cs.b), (w_, cs.c)):
+        for row, col, coeff in mat:
+            acc[col] = (acc[col] + coeff * lag[row]) % fr.P
+
+    gamma_inv = pow(gamma, fr.P - 2, fr.P)
+    delta_inv = pow(delta, fr.P - 2, fr.P)
+    zh = (pow(tau, m, fr.P) - 1) % fr.P
+
+    a_pts = [_g1_mul(u[j]) for j in range(nv)]
+    b1_pts = [_g1_mul(v[j]) for j in range(nv)]
+    b2_pts = [pr.ec_mul(pr.G2, v[j]) for j in range(nv)]
+    k_scalars = [(beta * u[j] + alpha * v[j] + w_[j]) % fr.P * delta_inv % fr.P
+                 for j in range(n_public + 1, nv)]
+    k_pts = [_g1_mul(s) for s in k_scalars]
+    h_pts = [_g1_mul(pow(tau, i, fr.P) * zh % fr.P * delta_inv % fr.P)
+             for i in range(m - 1)]
+    ic = [_g1_mul((beta * u[j] + alpha * v[j] + w_[j]) % fr.P
+                  * gamma_inv % fr.P) for j in range(n_public + 1)]
+
+    a_q, a_inf = _g1_points_to_limbs(a_pts)
+    b1_q, b1_inf = _g1_points_to_limbs(b1_pts)
+    k_q, k_inf = _g1_points_to_limbs(k_pts)
+    h_q, h_inf = _g1_points_to_limbs(h_pts)
+    assert not h_inf.any()
+
+    pk = ProvingKey(
+        n_public=n_public, domain_size=m,
+        alpha1=_g1_mul(alpha), beta1=_g1_mul(beta), delta1=_g1_mul(delta),
+        beta2=pr.ec_mul(pr.G2, beta), delta2=pr.ec_mul(pr.G2, delta),
+        a_query=a_q, b1_query=b1_q, k_query=k_q, h_query=h_q,
+        b2_query=b2_pts, a_inf=a_inf, b1_inf=b1_inf, k_inf=k_inf)
+    vk = VerifyingKey(
+        n_public=n_public, alpha1=pk.alpha1, beta2=pk.beta2,
+        gamma2=pr.ec_mul(pr.G2, gamma), delta2=pk.delta2, ic=ic)
+    return pk, vk
+
+
+# -- prover -------------------------------------------------------------------
+
+def _coset_scale(m: int, inverse: bool) -> np.ndarray:
+    g = pow(_COSET_G, fr.P - 2, fr.P) if inverse else _COSET_G
+    return fr.batch_to_limbs([pow(g, i, fr.P) for i in range(m)])  # (16, m)
+
+
+def _h_program(cs: ConstraintSystem):
+    """Jitted closure computing h coefficients for this system (cached on
+    the ConstraintSystem instance; persistent XLA cache across processes)."""
+    fn = getattr(cs, "_g16_h_fn", None)
+    if fn is not None:
+        return fn
+    (ra, ca, va), (rb, cb, vb), (rc, cc, vc) = cs.matrices()
+    m = 1 << max(1, (cs.n_constraints - 1).bit_length())
+    n_con = cs.n_constraints
+    shift_np = _coset_scale(m, False)[:, :, None]
+    unshift_np = _coset_scale(m, True)[:, :, None]
+    zh_inv = pow((pow(_COSET_G, m, fr.P) - 1) % fr.P, fr.P - 2, fr.P)
+
+    @jax.jit
+    def fn(witness):
+        def evals(rows, cols, coeffs):
+            e = _sparse_matvec(rows, cols, coeffs, witness, n_con)
+            e = jnp.moveaxis(e, 0, 1)                   # (16, n, *B)
+            pad = [(0, 0)] * e.ndim
+            pad[1] = (0, m - n_con)
+            return jnp.pad(e, pad)
+
+        az, bz, cz = (evals(ra, ca, va), evals(rb, cb, vb),
+                      evals(rc, cc, vc))
+        shift = jnp.asarray(shift_np)
+        unshift = jnp.asarray(unshift_np)
+
+        def to_coset_evals(e):
+            coeffs = _ntt.intt(e)
+            return _ntt.ntt(fr.mul(coeffs,
+                                   jnp.broadcast_to(shift, coeffs.shape)))
+
+        ac, bc, cc_ = map(to_coset_evals, (az, bz, cz))
+        num = fr.sub(fr.mul(ac, bc), cc_)
+        h_ev = fr.mul(num, fr.const(zh_inv, num.shape[1:]))
+        h = fr.mul(_ntt.intt(h_ev), jnp.broadcast_to(unshift, h_ev.shape))
+        return h[:, :m - 1]
+
+    cs._g16_h_fn = fn
+    return fn
+
+
+def h_coefficients(cs: ConstraintSystem, witness):
+    """Device computation of h(X) = (Az*Bz - Cz)/Z coefficients.
+
+    witness: (n_vars, 16, B) Fr limbs. Returns (16, m-1, B)."""
+    return _h_program(cs)(witness)
+
+
+_msm_jit = jax.jit(_msm.msm, static_argnames=("curve",))
+
+
+def _device_msm(query: np.ndarray, inf_mask, scalars: np.ndarray):
+    """MSM of a G1 query table against one lane's scalars; host ints out.
+
+    query: (2, k, N) limbs, scalars: (16, N) Fr limbs. N is padded to a
+    power-of-two bucket (zero scalars -> infinity lanes) so every query
+    size in a proof reuses ONE compiled MSM executable."""
+    n = query.shape[2]
+    if n == 0:
+        return None
+    s = scalars.copy()
+    if inf_mask is not None and inf_mask.any():
+        s[:, inf_mask] = 0
+    bucket = max(8, 1 << (n - 1).bit_length())
+    if bucket != n:
+        query = np.pad(query, ((0, 0), (0, 0), (0, bucket - n)))
+        s = np.pad(s, ((0, 0), (0, bucket - n)))
+    x, y = _msm_jit(jnp.asarray(query[0]), jnp.asarray(query[1]),
+                    jnp.asarray(s))
+    xi = bn.limbs_to_int(np.asarray(x))
+    yi = bn.limbs_to_int(np.asarray(y))
+    if xi == 0 and yi == 0:
+        return None
+    return (xi, yi)
+
+
+def prove(pk: ProvingKey, cs: ConstraintSystem, witness, seed: int = 1):
+    """Groth16 prove over a batched witness (n_vars, 16, B) -> [Proof]*B."""
+    witness = np.asarray(witness)
+    nv, _, batch = witness.shape
+    rng = random.Random(("groth16-prove", seed).__repr__())
+
+    h = np.asarray(h_coefficients(cs, jnp.asarray(witness)))  # (16, m-1, B)
+    w_ints = [bn.limbs_to_ints_batch(witness[j]) for j in range(nv)]
+
+    proofs = []
+    for lane in range(batch):
+        r_rand = rng.randrange(fr.P)
+        s_rand = rng.randrange(fr.P)
+        w_lane = witness[:, :, lane].T                  # (16, n_vars)
+
+        a_sum = _device_msm(pk.a_query, pk.a_inf, w_lane)
+        b1_sum = _device_msm(pk.b1_query, pk.b1_inf, w_lane)
+        k_sum = _device_msm(pk.k_query, pk.k_inf,
+                            w_lane[:, pk.n_public + 1:])
+        h_sum = _device_msm(pk.h_query, None, h[:, :, lane])
+
+        # pi_A = alpha + sum w_j u_j(tau) + r delta
+        pi_a = pr.ec_add(pr.ec_add(_g1_wrap(pk.alpha1), _g1_wrap(a_sum)),
+                         pr.ec_mul(_g1_wrap(pk.delta1), r_rand))
+        # pi_B (G2) = beta + sum w_j v_j(tau) + s delta
+        pi_b2 = pr.ec_add(pk.beta2, pr.ec_mul(pk.delta2, s_rand))
+        for j in range(nv):
+            wj = w_ints[j][lane]
+            if wj and pk.b2_query[j] is not None:
+                pi_b2 = pr.ec_add(pi_b2, pr.ec_mul(pk.b2_query[j], wj))
+        # pi_B in G1 (for pi_C)
+        pi_b1 = pr.ec_add(pr.ec_add(_g1_wrap(pk.beta1), _g1_wrap(b1_sum)),
+                          pr.ec_mul(_g1_wrap(pk.delta1), s_rand))
+        # pi_C = K + H + s pi_A + r pi_B1 - r s delta
+        pi_c = pr.ec_add(_g1_wrap(k_sum), _g1_wrap(h_sum))
+        pi_c = pr.ec_add(pi_c, pr.ec_mul(pi_a, s_rand))
+        pi_c = pr.ec_add(pi_c, pr.ec_mul(pi_b1, r_rand))
+        pi_c = pr.ec_add(pi_c, pr.ec_mul(_g1_wrap(pk.delta1),
+                                         (-r_rand * s_rand) % fr.P))
+        proofs.append(Proof(a=_g1_unwrap(pi_a), b=pi_b2, c=_g1_unwrap(pi_c)))
+    return proofs
+
+
+# -- verifier -----------------------------------------------------------------
+
+def verify(vk: VerifyingKey, proof: Proof, public_inputs: Sequence[int]) -> bool:
+    """e(A, B) == e(alpha, beta) e(IC(pub), gamma) e(C, delta)."""
+    if len(public_inputs) != vk.n_public:
+        return False
+    ic = _g1_wrap(vk.ic[0])
+    for j, x in enumerate(public_inputs, start=1):
+        ic = pr.ec_add(ic, pr.ec_mul(_g1_wrap(vk.ic[j]), x % fr.P))
+
+    a_pt = _g1_wrap(proof.a)
+    c_pt = _g1_wrap(proof.c)
+    if not (pr.on_curve(a_pt, pr.B1) and pr.on_curve(c_pt, pr.B1)
+            and pr.on_curve(proof.b, pr.B2)):
+        return False
+
+    f = pr.miller_loop(pr.twist(proof.b), pr.cast_g1(a_pt))
+    f = f * pr.miller_loop(pr.twist(vk.beta2),
+                           pr.cast_g1(pr.ec_neg(_g1_wrap(vk.alpha1))))
+    f = f * pr.miller_loop(pr.twist(vk.gamma2), pr.cast_g1(pr.ec_neg(ic)))
+    f = f * pr.miller_loop(pr.twist(vk.delta2), pr.cast_g1(pr.ec_neg(c_pt)))
+    return pr.final_exponentiate(f) == pr.FQ12.one()
