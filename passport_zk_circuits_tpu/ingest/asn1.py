@@ -36,6 +36,11 @@ class Node:
     def constructed(self) -> bool:
         return bool(self.tag & 0x20)
 
+    @property
+    def raw(self) -> bytes:
+        """Re-encoded full TLV (DER is canonical, so this is bit-exact)."""
+        return tlv(self.tag, self.content)
+
     def child(self, i: int) -> "Node":
         return self.children[i]
 

@@ -15,7 +15,8 @@ import random
 from typing import Optional, Tuple
 
 from . import asn1
-from .synthetic import rsa_pubkey_hash_oracle
+from . import x509
+from .synthetic import rsa_pubkey_hash_oracle, ecdsa_pubkey_hash_oracle
 from ..models.params import CircuitParams, SIG_ALGOS
 from ..utils import poseidon_ref as pref
 from ..utils.rsa_keygen import gen_rsa_key
@@ -46,16 +47,26 @@ def _padded_blocks(data_len_bytes: int, block_bits: int) -> int:
 
 def build_sod(dg1: bytes, dg15: Optional[bytes], sig_algo_id: int,
               dg_hash_type: int, rng: random.Random,
-              signer_key=None) -> Tuple[bytes, tuple]:
-    """Builds a minimal CMS SignedData SOD over the data groups.
+              signer_key=None, with_certificate: bool = True
+              ) -> Tuple[bytes, tuple]:
+    """Builds a minimal CMS SignedData SOD over the data groups, with the
+    document-signer key carried in a real `[0] certificates` X.509 block
+    (with_certificate=True, the reference's layout) or a bare `[1]` SPKI
+    stash. Supports RSA, RSA-PSS, and ECDSA SIG_ALGOs.
 
     Returns (sod_der, signer_key)."""
     algo = SIG_ALGOS[sig_algo_id]
-    if algo.family != "rsa":
-        raise NotImplementedError("synthetic SODs currently RSA PKCS#1v1.5")
-    if signer_key is None:
-        signer_key = gen_rsa_key(algo.key_bits, rng, algo.exp)
-    n, e, d = signer_key
+    if algo.family == "ecdsa":
+        from ..ops.curves import CURVES
+        from ..utils import ecdsa_ref
+        curve = CURVES[algo.curve]
+        if signer_key is None:
+            signer_key = ecdsa_ref.keygen(curve, rng)
+        d_ec, (qx, qy) = signer_key
+    else:
+        if signer_key is None:
+            signer_key = gen_rsa_key(algo.key_bits, rng, algo.exp)
+        n, e, d = signer_key
 
     dg_hashes = [asn1.seq(asn1.integer(1),
                           asn1.octet_string(_hash(dg1, dg_hash_type)))]
@@ -68,7 +79,9 @@ def build_sod(dg1: bytes, dg15: Optional[bytes], sig_algo_id: int,
         asn1.seq(*dg_hashes))
 
     sa_hash_bits = algo.hash_len
-    ec_digest = _hash(lds_so, sa_hash_bits)
+    # algo 24 (secp224r1/SHA-224 signature) hashes the EC with SHA-256
+    # (signatureVerification.circom:96-101 quirk)
+    ec_digest = _hash(lds_so, 256 if sig_algo_id == 24 else sa_hash_bits)
     signed_attrs_content = b"".join([
         asn1.seq(asn1.oid(asn1.OID_CONTENT_TYPE),
                  asn1.der_set(asn1.oid(asn1.OID_ICAO_LDS_SOD))),
@@ -79,35 +92,60 @@ def build_sod(dg1: bytes, dg15: Optional[bytes], sig_algo_id: int,
     sa_set = asn1.tlv(asn1.SET, signed_attrs_content)
     sa_impl = asn1.tlv(0xA0, signed_attrs_content)
 
-    sig_int = rsa_ops.sign_pkcs1v15(_hash(sa_set, sa_hash_bits), d, n,
-                                    algo.key_bits)
-    signature = sig_int.to_bytes(algo.key_bits // 8, "big")
+    sa_digest = _hash(sa_set, sa_hash_bits)
+    if algo.family == "rsa":
+        sig_int = rsa_ops.sign_pkcs1v15(sa_digest, d, n, algo.key_bits)
+        signature = sig_int.to_bytes(algo.key_bits // 8, "big")
+        sig_oid = {160: "1.2.840.113549.1.1.5",
+                   256: "1.2.840.113549.1.1.11",
+                   384: "1.2.840.113549.1.1.12",
+                   512: "1.2.840.113549.1.1.13"}[sa_hash_bits]
+        sig_alg = asn1.seq(asn1.oid(sig_oid), asn1.null())
+        spki = x509.rsa_spki(n, e)
+    elif algo.family == "rsapss":
+        from ..ops import rsapss
+        sig_int = rsapss.sign_pss(sa_digest, d, n, algo.key_bits,
+                                  algo.salt_len, rng)
+        signature = sig_int.to_bytes(algo.key_bits // 8, "big")
+        sig_alg = x509.pss_algorithm_identifier(sa_hash_bits, algo.salt_len)
+        spki = x509.rsa_spki(n, e)
+    else:
+        from ..utils import ecdsa_ref
+        r_val, s_val = ecdsa_ref.sign(curve, d_ec, sa_digest, rng)
+        signature = asn1.seq(asn1.integer(r_val), asn1.integer(s_val))
+        sig_oid = {160: "1.2.840.10045.4.1", 224: "1.2.840.10045.4.3.1",
+                   256: "1.2.840.10045.4.3.2",
+                   384: "1.2.840.10045.4.3.3"}[sa_hash_bits]
+        sig_alg = asn1.seq(asn1.oid(sig_oid))
+        spki = x509.ec_spki(algo.curve, qx, qy)
 
-    sig_oid = {160: "1.2.840.113549.1.1.5", 256: "1.2.840.113549.1.1.11",
-               384: "1.2.840.113549.1.1.12",
-               512: "1.2.840.113549.1.1.13"}[sa_hash_bits]
     digest_alg = asn1.seq(asn1.oid(asn1.HASH_OID_BY_BITS[sa_hash_bits]),
                           asn1.null())
-    spki = asn1.seq(
-        asn1.seq(asn1.oid(asn1.OID_RSA_ENC), asn1.null()),
-        asn1.bit_string(asn1.seq(asn1.integer(n), asn1.integer(e))))
-    # non-standard-but-parseable: SPKI stashed as a [1] block so the parser
-    # can find the signer key without full X.509 certificates
     signer_info = asn1.seq(
         asn1.integer(1),
         asn1.seq(asn1.octet_string(b"synthetic-issuer"), asn1.integer(1)),
         digest_alg,
         sa_impl,
-        asn1.seq(asn1.oid(sig_oid), asn1.null()),
+        sig_alg,
         asn1.octet_string(signature))
-    signed_data = asn1.seq(
+    blocks = [
         asn1.integer(3),
         asn1.der_set(digest_alg),
         asn1.seq(asn1.oid(asn1.OID_ICAO_LDS_SOD),
                  asn1.ctx(0, asn1.octet_string(lds_so))),
-        asn1.ctx(1, spki),
-        asn1.der_set(signer_info))
-    sod = asn1.seq(asn1.oid(asn1.OID_SIGNED_DATA), asn1.ctx(0, signed_data))
+    ]
+    if with_certificate:
+        # real layout: [0] certificates holding the DS certificate
+        cert_signer = signer_key if algo.family != "ecdsa" else \
+            gen_rsa_key(2048, rng)
+        cert = x509.build_certificate(spki, "synthetic-DS",
+                                      "synthetic-CSCA", cert_signer)
+        blocks.append(asn1.ctx(0, cert))
+    else:
+        blocks.append(asn1.ctx(1, spki))
+    blocks.append(asn1.der_set(signer_info))
+    sod = asn1.seq(asn1.oid(asn1.OID_SIGNED_DATA),
+                   asn1.ctx(0, asn1.seq(*blocks)))
     return sod, signer_key
 
 
@@ -129,18 +167,21 @@ def parse_sod(sod: bytes) -> dict:
     lds = asn1.parse(ec)
     dg_hash_bits = asn1.HASH_OIDS[lds.child(1).child(0).as_oid()]
 
-    # optional [1] SPKI stash (synthetic) or [0] certificates (real X.509)
-    pubkey_n = pubkey_e = None
+    # [0] certificates (real X.509, extract SPKI from the DS cert) or the
+    # bare [1] SPKI stash used by certificate-less synthetic SODs
+    pubkey = None                   # ("rsa", n, e) | ("ecdsa", name, (x,y))
+    cert_der = None
     idx = 3
     while sd.child(idx).tag in (0xA0, 0xA1):
         blk = sd.child(idx)
-        if blk.tag == 0xA1:
+        if blk.tag == 0xA0:
+            cert_node = (blk.children[0] if blk.children
+                         else asn1.parse(blk.content))
+            cert_der = cert_node.raw
+            pubkey = x509.parse_spki(x509.extract_spki(cert_der))
+        else:
             spki = blk.children[0] if blk.children else asn1.parse(blk.content)
-            alg_oid = spki.child(0).child(0).as_oid()
-            if alg_oid == asn1.OID_RSA_ENC:
-                rsa_seq = asn1.parse(spki.child(1).content[1:])
-                pubkey_n = rsa_seq.child(0).as_int()
-                pubkey_e = rsa_seq.child(1).as_int()
+            pubkey = x509.parse_spki(spki)
         idx += 1
     signer_info = sd.child(idx).child(0)
 
@@ -148,27 +189,49 @@ def parse_sod(sod: bytes) -> dict:
     sa_node = signer_info.child(3)                   # [0] IMPLICIT
     assert sa_node.tag == 0xA0
     sa = asn1.tlv(asn1.SET, sa_node.content)         # signed form
-    sig_alg_oid = signer_info.child(4).child(0).as_oid()
-    signature = signer_info.child(5).as_int()
-
+    sig_alg = signer_info.child(4)
+    sig_alg_oid = sig_alg.child(0).as_oid()
     family, _ = asn1.SIG_OIDS.get(sig_alg_oid, ("rsa", None))
-    return {
+    salt_len = None
+    if sig_alg_oid == x509.OID_RSA_PSS:
+        sa_hash_bits, salt_len = x509.parse_pss_params(sig_alg)
+    if family == "ecdsa":
+        rs = asn1.parse(signer_info.child(5).content)
+        signature = (rs.child(0).as_int(), rs.child(1).as_int())
+    else:
+        signature = signer_info.child(5).as_int()
+
+    out = {
         "ec": ec, "sa": sa, "signature": signature,
-        "pubkey_n": pubkey_n, "pubkey_e": pubkey_e,
         "dg_hash_bits": dg_hash_bits, "sa_hash_bits": sa_hash_bits,
-        "family": family,
+        "family": family, "salt_len": salt_len, "cert_der": cert_der,
+        "pubkey_n": None, "pubkey_e": None, "curve": None, "pubkey_q": None,
     }
+    if pubkey is not None:
+        if pubkey[0] == "rsa":
+            out["pubkey_n"], out["pubkey_e"] = pubkey[1], pubkey[2]
+        else:
+            out["curve"], out["pubkey_q"] = pubkey[1], pubkey[2]
+    return out
 
 
 def detect_sig_algo(parsed: dict) -> int:
-    """getSigType analog (process_passport.js:157-244), RSA families."""
+    """getSigType analog (process_passport.js:157-244), all families."""
+    fam = parsed["family"]
+    if fam == "ecdsa":
+        for algo in SIG_ALGOS.values():
+            if algo.family == "ecdsa" and algo.curve == parsed["curve"]:
+                return algo.id
+        raise ValueError(f"unsupported ECDSA curve {parsed['curve']}")
     n_bits = parsed["pubkey_n"].bit_length()
-    key_bits = 1 << (n_bits - 1).bit_length() if n_bits not in (3072,) else 3072
+    key_bits = (3072 if n_bits in (3071, 3072)
+                else 1 << (n_bits - 1).bit_length())
     for algo in SIG_ALGOS.values():
-        if (algo.family == parsed["family"]
+        if (algo.family == fam
                 and algo.key_bits == key_bits
                 and algo.hash_len == parsed["sa_hash_bits"]
-                and algo.exp == parsed["pubkey_e"]):
+                and algo.exp == parsed["pubkey_e"]
+                and (fam != "rsapss" or algo.salt_len == parsed["salt_len"])):
             return algo.id
     raise ValueError("unsupported signature algorithm combination")
 
@@ -184,9 +247,14 @@ def find_shift(container: bytes, digest: bytes) -> int:
 
 def process_passport(dg1: bytes, dg15: Optional[bytes], sod: bytes,
                      sk_identity: Optional[int] = None,
-                     aa_algo: int = 1) -> Tuple[CircuitParams, dict]:
+                     aa_algo: int = 1,
+                     master_list=None) -> Tuple[CircuitParams, dict]:
     """Full processPassport analog: returns (CircuitParams, witness dict
-    compatible with ingest.builder.build_register_inputs)."""
+    compatible with ingest.builder.build_register_inputs).
+
+    master_list: optional ingest.masterlist.SparseMerkleTree holding DS
+    pubkey hashes — when given, the witness carries a REAL inclusion proof
+    against it instead of the fabricated 1-leaf anchors."""
     parsed = parse_sod(sod)
     dg_hash = parsed["dg_hash_bits"]
     sig_id = detect_sig_algo(parsed)
@@ -213,19 +281,32 @@ def process_passport(dg1: bytes, dg15: Optional[bytes], sod: bytes,
         aa_shift=_find_aa_shift(dg15) if dg15 else 0,
     )
 
-    # fake trust anchors, mirroring getFakeIdenData
-    # (process_passport.js:628-657): skIdentity from SHA-256(ec), 1-leaf SMT
+    # trust anchors: either a real master-list proof, or the fabricated
+    # 1-leaf SMT mirroring getFakeIdenData (process_passport.js:628-657,
+    # skIdentity from SHA-256(ec))
     if sk_identity is None:
         sk_identity = int.from_bytes(hashlib.sha256(ec).digest(),
                                      "big") % pref.P
-    pubkey_hash = rsa_pubkey_hash_oracle(parsed["pubkey_n"])
-    slave_root = pref.poseidon([pubkey_hash, pubkey_hash, 1])
+    if algo.family == "ecdsa":
+        from ..ops.curves import CURVES
+        qx, qy = parsed["pubkey_q"]
+        pubkey_hash = ecdsa_pubkey_hash_oracle(
+            qx, qy, CURVES[parsed["curve"]].p.bit_length())
+        pubkey = parsed["pubkey_q"]
+    else:
+        pubkey_hash = rsa_pubkey_hash_oracle(parsed["pubkey_n"])
+        pubkey = parsed["pubkey_n"]
+    if master_list is not None:
+        slave_root, slave_branches = master_list.prove(pubkey_hash)
+    else:
+        slave_root = pref.poseidon([pubkey_hash, pubkey_hash, 1])
+        slave_branches = [0] * 80
 
     witness = {
         "dg1": dg1, "dg15": dg15 or b"", "ec": ec, "sa": sa,
-        "signature": parsed["signature"], "pubkey": parsed["pubkey_n"],
+        "signature": parsed["signature"], "pubkey": pubkey,
         "sk_identity": sk_identity,
-        "slave_root": slave_root, "slave_branches": [0] * 80,
+        "slave_root": slave_root, "slave_branches": slave_branches,
     }
     return params, witness
 

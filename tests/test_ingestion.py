@@ -5,7 +5,8 @@ import jax
 import numpy as np
 import pytest
 
-from passport_zk_circuits_tpu.ingest import asn1, passport, synthetic
+from passport_zk_circuits_tpu.ingest import (asn1, masterlist, passport,
+                                             synthetic, x509)
 from passport_zk_circuits_tpu.ingest.builder import build_register_inputs
 from passport_zk_circuits_tpu.models import register_identity as ri
 from passport_zk_circuits_tpu.ops import field as fr
@@ -51,6 +52,103 @@ def test_sod_parse_and_detect():
     bits_off = params.aa_shift // 8
     assert dg15[bits_off:bits_off + 128] == aa_n.to_bytes(128, "big")
 
+
+
+def test_x509_certificate_roundtrip():
+    """Build DS certificates (RSA, EC named-curve, EC explicit-params) and
+    recover the pubkey through the [0]-certificates walk."""
+    ca = gen_rsa_key(2048, rng)
+    n, e, _ = gen_rsa_key(2048, rng)
+    cert = x509.build_certificate(x509.rsa_spki(n, e), "DS", "CSCA", ca)
+    assert x509.parse_certificate_pubkey(cert) == ("rsa", n, e)
+
+    from passport_zk_circuits_tpu.ops.curves import CURVES
+    from passport_zk_circuits_tpu.utils import ecdsa_ref
+    d, (qx, qy) = ecdsa_ref.keygen(CURVES["brainpoolP256r1"], rng)
+    cert2 = x509.build_certificate(
+        x509.ec_spki("brainpoolP256r1", qx, qy), "DS", "CSCA", ca)
+    assert x509.parse_certificate_pubkey(cert2) == \
+        ("ecdsa", "brainpoolP256r1", (qx, qy))
+    # explicit parameters: curve matched by prime (the reference's trick,
+    # process_passport.js:492-571)
+    cert3 = x509.build_certificate(
+        x509.ec_spki("brainpoolP256r1", qx, qy, explicit_params=True),
+        "DS", "CSCA", ca)
+    assert x509.parse_certificate_pubkey(cert3) == \
+        ("ecdsa", "brainpoolP256r1", (qx, qy))
+
+
+def test_sod_parse_rsapss_and_ecdsa():
+    dg1 = bytes(rng.randrange(256) for _ in range(93))
+    # RSA-PSS algo 11 (2048/SHA-256/salt 32): PSS params carried in the
+    # AlgorithmIdentifier
+    sod, signer = passport.build_sod(dg1, None, 11, 256, rng)
+    parsed = passport.parse_sod(sod)
+    assert parsed["family"] == "rsapss"
+    assert parsed["salt_len"] == 32
+    assert parsed["pubkey_n"] == signer[0]
+    assert passport.detect_sig_algo(parsed) == 11
+    # ECDSA algo 20 (p256): DER (r, s) + EC SPKI inside a real certificate
+    sod2, signer2 = passport.build_sod(dg1, None, 20, 256, rng)
+    parsed2 = passport.parse_sod(sod2)
+    assert parsed2["family"] == "ecdsa"
+    assert parsed2["curve"] == "p256"
+    assert parsed2["pubkey_q"] == signer2[1]
+    assert passport.detect_sig_algo(parsed2) == 20
+    params2, witness2 = passport.process_passport(dg1, None, sod2, aa_algo=0)
+    assert params2.signature_type == 20
+    assert witness2["signature"] == parsed2["signature"]
+
+
+def test_master_list_smt():
+    """Multi-leaf master list: proofs verify on device, absent keys raise."""
+    from passport_zk_circuits_tpu.ops import smt
+    ca = gen_rsa_key(2048, rng)
+    certs = []
+    for _ in range(5):
+        n, e, _ = gen_rsa_key(2048, rng)
+        certs.append(x509.build_certificate(x509.rsa_spki(n, e),
+                                            "DS", "CSCA", ca))
+    tree = masterlist.build_master_list(certs)
+    hashes = [masterlist.pubkey_hash_of_cert(c) for c in certs]
+    roots, keys, sibs = [], [], []
+    for h in hashes:
+        root, branches = tree.prove(h)
+        roots.append(root)
+        keys.append(h)
+        sibs.append(branches)
+    assert len(set(roots)) == 1
+    root_l = fr.batch_to_limbs(roots)
+    key_l = fr.batch_to_limbs(keys)
+    sib_l = np.stack([fr.batch_to_limbs(s) for s in zip(*sibs)], axis=1)
+    ok, _ = jax.jit(smt.verify)(root_l, key_l, key_l, sib_l)
+    assert np.asarray(ok).all()
+    with pytest.raises(KeyError):
+        tree.prove(hashes[0] + 1)
+
+
+def test_pipeline_with_master_list():
+    """Ingestion anchored to a real multi-leaf master list: the register
+    circuit's SMT check passes with the DS cert's proof."""
+    dg1 = bytes(rng.randrange(256) for _ in range(93))
+    sod, signer = passport.build_sod(dg1, None, 1, 256, rng)
+    # master list containing our signer + decoys
+    ca = gen_rsa_key(2048, rng)
+    certs = [x509.build_certificate(x509.rsa_spki(signer[0], signer[1]),
+                                    "DS", "CSCA", ca)]
+    for _ in range(3):
+        n, e, _ = gen_rsa_key(2048, rng)
+        certs.append(x509.build_certificate(x509.rsa_spki(n, e),
+                                            "DS", "CSCA", ca))
+    tree = masterlist.build_master_list(certs)
+    params, witness = passport.process_passport(dg1, None, sod, aa_algo=0,
+                                                master_list=tree)
+    assert witness["slave_root"] == tree.root()
+    inp = build_register_inputs(params, [witness])
+    out = jax.jit(lambda i: ri.forward(params, i))(inp)
+    assert np.asarray(out["flow_ok"]).all()
+    assert np.asarray(out["sig_ok"]).all()
+    assert np.asarray(out["smt_ok"]).all()
 
 
 def test_pipeline_end_to_end():
