@@ -14,22 +14,15 @@ import numpy as np
 from ..models.params import CircuitParams
 from ..models.passport_verification import PassportInputs
 from ..models.register_identity import RegisterIdentityInputs
-from ..ops import sha2
 from ..ops import bignum as bn
 from ..ops import field as fr
+from . import native
 
 
-def _pad_to_blocks(data: bytes, block_bits: int, n_blocks: int) -> bytes:
-    padded = sha2.pad_message(data, block_bits)
-    want = n_blocks * block_bits // 8
-    if len(padded) != want:
-        raise ValueError(f"blob of {len(data)}B pads to {len(padded)}B, "
-                         f"expected {want}B ({n_blocks} blocks)")
-    return padded
-
-
-def _words_batch(blobs) -> np.ndarray:
-    return np.stack([sha2.bytes_to_words32(b) for b in blobs], axis=-1)
+def _padded_words(blobs, block_bits: int, n_blocks: int) -> np.ndarray:
+    """B raw blobs -> (n_words, B) padded big-endian word tensor (C++ fast
+    path via ingest.native, Python fallback)."""
+    return native.pad_words32_batch(blobs, block_bits, n_blocks)
 
 
 def build_register_inputs(p: CircuitParams, passports) -> RegisterIdentityInputs:
@@ -38,18 +31,19 @@ def build_register_inputs(p: CircuitParams, passports) -> RegisterIdentityInputs
     sig = p.sig
     k = sig.key_bits // 16
 
-    dg1_p = [_pad_to_blocks(pp["dg1"], p.dg_hash_block_size,
-                            1024 // p.dg_hash_block_size) for pp in passports]
-    ec_p = [_pad_to_blocks(pp["ec"], p.sig_hash_block_size,
-                           p.ec_block_number) for pp in passports]
-    sa_p = [_pad_to_blocks(pp["sa"], p.sig_hash_block_size,
-                           1024 // p.sig_hash_block_size) for pp in passports]
+    dg1_w = _padded_words([pp["dg1"] for pp in passports],
+                          p.dg_hash_block_size, 1024 // p.dg_hash_block_size)
+    ec_w = _padded_words([pp["ec"] for pp in passports],
+                         p.sig_hash_block_size, p.ec_block_number)
+    sa_w = _padded_words([pp["sa"] for pp in passports],
+                         p.sig_hash_block_size, 1024 // p.sig_hash_block_size)
     if p.aa_signature_algo != 0:
-        dg15_p = [_pad_to_blocks(pp["dg15"], p.dg_hash_block_size,
-                                 p.dg15_block_number) for pp in passports]
+        dg15_w = _padded_words([pp["dg15"] for pp in passports],
+                               p.dg_hash_block_size, p.dg15_block_number)
     else:
-        dg15_p = [b"\x00" * (p.dg15_block_number * p.dg_hash_block_size // 8)
-                  for pp in passports]
+        dg15_w = np.zeros(
+            (p.dg15_block_number * p.dg_hash_block_size // 32,
+             len(passports)), dtype=np.uint32)
 
     if sig.family == "ecdsa":
         # pubkey = (X, Y), signature = (r, s); key_bits = 2 * field bits
@@ -70,10 +64,10 @@ def build_register_inputs(p: CircuitParams, passports) -> RegisterIdentityInputs
             [pp["signature"] for pp in passports], k)
         mu = bn.barrett_mu_batch(mods, k)
     passport_inp = PassportInputs(
-        dg1_words=_words_batch(dg1_p),
-        dg15_words=_words_batch(dg15_p),
-        ec_words=_words_batch(ec_p),
-        sa_words=_words_batch(sa_p),
+        dg1_words=dg1_w,
+        dg15_words=dg15_w,
+        ec_words=ec_w,
+        sa_words=sa_w,
         signature=signature,
         pubkey=pubkey,
         pubkey_mu=mu,
