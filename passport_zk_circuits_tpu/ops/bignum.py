@@ -251,6 +251,105 @@ def poly_mul(a, b):
         out = out.at[d * _BLOCK:(d + 2) * _BLOCK].add(bc[:, d])
     return out[:n + m]
 
+@functools.lru_cache(maxsize=None)
+def _static_byte_matrix(c_bytes: tuple, n_limbs: int):
+    """(2n + len(c), 2n) f32 matrix with M[i+j, i] = c_bytes[j]: one matmul
+    against a byte-split operand computes the full product by a *static*
+    constant. Terms are byte*byte < 2^16 with <= 2n per diagonal, so f32
+    accumulation is exact."""
+    nb = 2 * n_limbs
+    mb = len(c_bytes)
+    M = np.zeros((nb + mb, nb), np.float32)
+    for j, cb in enumerate(c_bytes):
+        if cb:
+            idx = np.arange(nb)
+            M[idx + j, idx] = float(cb)
+    return M
+
+
+def poly_mul_static(a, c_limbs) -> jnp.ndarray:
+    """Exact product of a (n, *B) normalized limb vector by a *compile-time*
+    constant (m,) limb array. Returns (n+m, *B) overflowed limbs (< 2^30).
+
+    One static-matrix MXU matmul instead of the generic outer-product
+    convolution — ~10x fewer FLOPs; used for the Barrett mu/mod products of
+    every static-prime reduction (Fr, curve fields)."""
+    a = _as_u32(a)
+    n = a.shape[0]
+    c_limbs = np.asarray(c_limbs, dtype=np.uint32)
+    assert c_limbs.ndim == 1
+    m = c_limbs.shape[0]
+    c_int = sum(int(v) << (W * i) for i, v in enumerate(c_limbs))
+    c_bytes = tuple(c_int.to_bytes(2 * m, "little"))
+    M = _static_byte_matrix(c_bytes, n)
+    bshape = a.shape[1:]
+    # byte split, interleaved little-endian: (2n, *B)
+    a8 = jnp.stack([a & 0xFF, a >> 8], axis=1).reshape((2 * n,) + bshape)
+    flat = a8.reshape(2 * n, -1).astype(jnp.float32)
+    c8 = jax.lax.dot(M, flat, precision=jax.lax.Precision.HIGHEST)
+    c8 = c8.astype(_u32).reshape((2 * (n + m),) + bshape)
+    # recombine base-2^8 diagonal sums into 16-bit-limb positions (u32 exact)
+    return c8[0::2] + (c8[1::2] << 8)
+
+
+@functools.lru_cache(maxsize=None)
+def _linmap_matrix(consts_bytes: bytes, m: int, t_in: int, t_out: int,
+                   n: int):
+    """Block matrix (t_out*(2n+2m), t_in*2n) for a whole static linear map
+    sum_j C[j][i] * x_j: block (i, j) is the byte conv matrix of C[j][i]."""
+    consts = np.frombuffer(consts_bytes, dtype=np.uint32).reshape(
+        m, t_in, t_out)
+    rb, cb = 2 * (n + m), 2 * n
+    M = np.zeros((t_out * rb, t_in * cb), np.float32)
+    for i in range(t_out):
+        for j in range(t_in):
+            c_int = sum(int(v) << (W * l) for l, v in enumerate(consts[:, j, i]))
+            blk = _static_byte_matrix(tuple(c_int.to_bytes(2 * m, "little")), n)
+            M[i * rb:(i + 1) * rb, j * cb:(j + 1) * cb] = blk
+    return M
+
+
+def linmap_matrix(consts: np.ndarray, n: int) -> np.ndarray:
+    """Public builder: (m, t_in, t_out) constants -> the byte-block matrix
+    for `linmap_apply` against n-limb operands. Checks f32 exactness:
+    per-diagonal accumulation is t_in * min(2n, 2m) byte products, which
+    must stay < 2^24 (t_in <= 8 at n = m = 16)."""
+    consts = np.ascontiguousarray(consts, dtype=np.uint32)
+    m, t_in, t_out = consts.shape
+    assert t_in * min(2 * n, 2 * m) * 65025 < (1 << 24), "f32 exactness"
+    return _linmap_matrix(consts.tobytes(), m, t_in, t_out, n)
+
+
+def linmap_apply(M, state, m: int) -> jnp.ndarray:
+    """Apply a byte-block linear-map matrix (static numpy or traced, e.g.
+    scanned per-round; entries < 256) of shape (t_out*2(n+m), t_in*2n) to
+    state (n, t_in, *B). Returns (n+m, t_out, *B) overflowed limbs."""
+    state = _as_u32(state)
+    n, t_in = state.shape[0], state.shape[1]
+    t_out = M.shape[0] // (2 * (n + m))
+    bshape = state.shape[2:]
+    s8 = jnp.stack([state & 0xFF, state >> 8], axis=1)      # (n, 2, t_in, *B)
+    s8 = s8.reshape((2 * n, t_in) + bshape)
+    s8 = jnp.moveaxis(s8, 1, 0).reshape(t_in * 2 * n, -1).astype(jnp.float32)
+    c8 = jax.lax.dot(jnp.asarray(M, dtype=jnp.float32), s8,
+                     precision=jax.lax.Precision.HIGHEST)
+    c8 = c8.astype(_u32).reshape((t_out, 2 * (n + m)) + bshape)
+    out = c8[:, 0::2] + (c8[:, 1::2] << 8)                  # (t_out, n+m, *B)
+    return jnp.moveaxis(out, 0, 1)
+
+
+def linmap_static(consts: np.ndarray, state) -> jnp.ndarray:
+    """Whole static linear map over limb vectors in ONE MXU matmul.
+
+    consts: (m, t_in, t_out) numpy compile-time constants (limb axis first);
+    state: (n, t_in, *B) normalized limbs.
+    Returns out[:, i] = sum_j consts[:, j, i] * state[:, j] as
+    (n+m, t_out, *B) *overflowed* limbs (follow with a Barrett reduction)."""
+    consts = np.ascontiguousarray(consts, dtype=np.uint32)
+    return linmap_apply(linmap_matrix(consts, state.shape[0]), state,
+                        consts.shape[0])
+
+
 def sub_limbs(a, b):
     """a - b over normalized limbs. Returns (diff (k, *B) normalized,
     borrow_out (*B,) 0/1). Borrow resolution is log-depth carry-lookahead
@@ -298,15 +397,27 @@ def barrett_reduce(t, mod_limbs, mu_limbs):
     Returns (k, *B) normalized, < m. The quotient estimate is off by at most
     2, fixed with two conditional subtracts.
     """
+    static = (isinstance(mod_limbs, np.ndarray) and mod_limbs.ndim == 1
+              and isinstance(mu_limbs, np.ndarray) and mu_limbs.ndim == 1)
     t = _as_u32(t)
-    mod_limbs = _as_u32(mod_limbs)
+    mod_limbs = _as_u32(mod_limbs) if not static else mod_limbs
     k = mod_limbs.shape[0]
-    bshape = jnp.broadcast_shapes(t.shape[1:], mod_limbs.shape[1:])
+    bshape = jnp.broadcast_shapes(t.shape[1:],
+                                  mod_limbs.shape[1:] if not static else ())
     x = carry_normalize(_bcast_limbs(t, bshape), k_out=2 * k)
     q1 = x[k - 1:]                                   # floor(x / b^(k-1)), k+1
-    q2 = carry_normalize(poly_mul(q1, mu_limbs), k_out=2 * k + 2)
-    q3 = q2[k + 1:]                                  # k+1 limbs
-    r2 = carry_normalize(poly_mul(q3, mod_limbs)[:k + 1], k_out=k + 1)
+    if static:
+        # compile-time modulus (Fr, curve primes): both Barrett constant
+        # products collapse to one static-matrix matmul each
+        q2 = carry_normalize(poly_mul_static(q1, mu_limbs), k_out=2 * k + 2)
+        q3 = q2[k + 1:]
+        r2 = carry_normalize(poly_mul_static(q3, mod_limbs)[:k + 1],
+                             k_out=k + 1)
+    else:
+        q2 = carry_normalize(poly_mul(q1, mu_limbs), k_out=2 * k + 2)
+        q3 = q2[k + 1:]                              # k+1 limbs
+        r2 = carry_normalize(poly_mul(q3, mod_limbs)[:k + 1], k_out=k + 1)
+    mod_limbs = _as_u32(mod_limbs)
     r, _ = sub_limbs(x[:k + 1], r2)                  # mod b^(k+1)
     mod_ext = jnp.pad(_bcast_limbs(mod_limbs, bshape),
                       [(0, 1)] + [(0, 0)] * len(bshape))

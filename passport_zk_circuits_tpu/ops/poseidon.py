@@ -63,7 +63,13 @@ def _consts(t: int):
     }
     # numpy on purpose: caching jnp arrays could leak tracers when first
     # materialized under a trace; np.uint32 copies are free to close over.
-    return {k: np.ascontiguousarray(v, dtype=np.uint32) for k, v in out.items()}
+    out = {k: np.ascontiguousarray(v, dtype=np.uint32) for k, v in out.items()}
+    if t <= 8:
+        # per-round MixS row-map matrices, scanned through the partial rounds
+        out["s0mat"] = np.stack([
+            bn.linmap_matrix(out["s0"][r][:, :, None], fr.NLIMBS)
+            for r in range(nP)])                     # (nP, 2*32, t*32) f32
+    return out
 
 
 def _sigma(x):
@@ -74,10 +80,14 @@ def _sigma(x):
 
 
 def _mix(rows, state):
-    """out[:, i] = sum_j rows[:, j, i] * state[:, j] — one convolution for all
-    t*t products, lazy uint32 accumulation, one Barrett reduction.
+    """out[:, i] = sum_j rows[:, j, i] * state[:, j].
 
-    rows: (16, t, t_out); state: (16, t, B) -> (16, t_out, B)."""
+    rows: (16, t, t_out) static; state: (16, t, B) -> (16, t_out, B).
+    t <= 8: the whole MDS map is ONE static byte-matrix MXU matmul
+    (bn.linmap_static) followed by a single Barrett reduction; larger t
+    falls back to the generic convolution + lazy uint32 accumulation."""
+    if isinstance(rows, np.ndarray) and state.shape[1] <= 8:
+        return fr.reduce_overflowed(bn.linmap_static(rows, state))
     prods = bn.poly_mul(rows[..., None], state[:, :, None])  # (32,t,t_out,B)
     return fr.reduce_overflowed(prods.sum(axis=1))
 
@@ -121,17 +131,29 @@ def poseidon_ex(inputs, n_outs: int = 1, initial_state=None):
         lambda s, a: (full_round(s, a, c["m"]), None), state, c["ark"][1:4])
     state = full_round(state, c["ark"][4], c["p"])
 
+    use_mat = "s0mat" in c
+
     def partial(state, xs):
-        cp, s0, s1 = xs                              # (16,), (16,t), (16,t-1)
+        if use_mat:
+            cp, s0mat, s1 = xs                       # s0mat: (64, t*32)
+        else:
+            cp, s0mat, s1 = xs                       # s0mat = s0: (16, t)
         x0 = _sigma(state[:, 0])                     # (16, B)
         x0 = fr.add(x0, _bc(cp, x0.shape[1:]))
         state = state.at[:, 0].set(x0)
-        prods = bn.poly_mul(s0[:, :, None], state)   # (32, t, B)
-        new0 = fr.reduce_overflowed(prods.sum(axis=1))
+        if use_mat:
+            # per-round MixS row map as one byte-matrix matmul
+            new0 = fr.reduce_overflowed(
+                bn.linmap_apply(s0mat, state, fr.NLIMBS)[:, 0])
+        else:
+            prods = bn.poly_mul(s0mat[:, :, None], state)   # (32, t, B)
+            new0 = fr.reduce_overflowed(prods.sum(axis=1))
         rest = fr.add(state[:, 1:], fr.mul(s1[:, :, None], x0[:, None]))
         return jnp.concatenate([new0[:, None], rest], axis=1), None
 
-    state, _ = jax.lax.scan(partial, state, (c["cp"], c["s0"], c["s1"]))
+    state, _ = jax.lax.scan(
+        partial, state,
+        (c["cp"], c["s0mat"] if use_mat else c["s0"], c["s1"]))
 
     state, _ = jax.lax.scan(
         lambda s, a: (full_round(s, a, c["m"]), None), state, c["ark2"])
