@@ -48,6 +48,44 @@ def test_proof_json_roundtrip_verifies():
     assert [int(p) for p in pubs] == [zs[0], w4s[0]]
 
 
+def test_vk_alphabeta_12_matches_pairing():
+    # snarkjs emits the precomputed e(alpha1, beta2) in the tower (2x3x2)
+    # layout; reconstruct the flat FQ12 from the JSON and compare.
+    from passport_zk_circuits_tpu.groth16 import pairing as pr
+    _, _, vk = _setup()
+    d = json.loads(ex.vk_to_json(vk))
+    tower = d["vk_alphabeta_12"]
+    assert len(tower) == 2 and all(len(r) == 3 for r in tower)
+    flat = [0] * 12
+    for i in range(2):
+        for j in range(3):
+            a0, a1 = int(tower[i][j][0]), int(tower[i][j][1])
+            e = i + 2 * j
+            flat[e + 6] = a1
+            flat[e] = (a0 - 9 * a1) % pr.Q
+    expect = pr.pairing(vk.beta2, vk.alpha1)
+    assert pr.FQ12(flat) == expect
+    assert expect != pr.FQ12.one()
+
+
+def test_solidity_calldata_preswaps_b():
+    cs, pk, vk = _setup()
+    xs = [rng.randrange(1 << 8)]
+    ys = [rng.randrange(fr.P)]
+    w, zs, w4s = _witness_rows(cs, xs, ys)
+    proof = g16.prove(pk, cs, w, seed=3)[0]
+    call = ex.solidity_calldata(proof, [zs[0], w4s[0]])
+    parts = json.loads("[" + call + "]")
+    pa, pb, pc, pubs = parts
+    assert [int(x, 16) for x in pa] == [proof.a[0], proof.a[1]]
+    (bx, by) = ex._fq2_pair(proof.b)
+    # G2 coords pre-swapped (c1, c0) per snarkjs generatecall
+    assert [int(x, 16) for x in pb[0]] == [bx[1], bx[0]]
+    assert [int(x, 16) for x in pb[1]] == [by[1], by[0]]
+    assert [int(x, 16) for x in pc] == [proof.c[0], proof.c[1]]
+    assert [int(x, 16) for x in pubs] == [zs[0], w4s[0]]
+
+
 def test_solidity_verifier_contents():
     _, _, vk = _setup()
     sol = ex.solidity_verifier(vk, name="RegisterVerifier")
@@ -61,6 +99,12 @@ def test_solidity_verifier_contents():
     assert "staticcall(gas(), 8" in sol
     assert str(vk.alpha1[0]) in sol
     assert str(vk.gamma2[0].coeffs[1]) in sol
+    # snarkjs checkField parity: public signals >= r are rejected, never
+    # reduced mod r (no public-signal aliasing)
+    assert "require(s < r" in sol
+    assert "s % r" not in sol
+    # pB arrives pre-swapped (c1,c0) and is copied verbatim
+    assert "p[2] = b[0][0]; p[3] = b[0][1];" in sol
     # braces from the template survived formatting (balanced contract body)
     assert sol.count("{") == sol.count("}")
 
