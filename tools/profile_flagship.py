@@ -42,6 +42,7 @@ def main():
     from passport_zk_circuits_tpu.ops import field as fr
 
     p, inputs = _flagship_inputs(batch=batch)
+    inputs = jax.device_put(inputs)     # steady-state: no per-call H2D
     pp = inputs.passport
     times = {}
 
