@@ -6,6 +6,13 @@ Times each pipeline stage as its own jitted program on the current backend
 (SURVEY.md §3.1): SHA hashing, RSA modexp signature check, Poseidon set,
 SMT climb, BabyJubJub ladder.
 
+Methodology: every timed loop is CHAINED — each iteration's inputs are
+derived from the previous iteration's outputs — because the execution
+environment elides repeated executions with identical inputs (see
+bench.py / BASELINE.md round-3 correction). `chain_time` enforces that
+shape: step_fn must map its carry to the next carry through the computation
+under test.
+
 Usage: python tools/profile_flagship.py [batch]
 """
 import os
@@ -22,57 +29,87 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def bench_fn(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def _force(tree):
+    """Fetch one concrete element of every leaf. block_until_ready is not a
+    reliable fence in this environment (see bench.py); device_get is."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        jax.device_get(leaf.reshape(-1)[:1])
+
+
+def chain_time(step_fn, x0, iters=5):
+    """Time a self-chained step: x_{i+1} = step_fn(x_i). Returns sec/step."""
+    stepj = jax.jit(step_fn)
+    x = stepj(x0)
+    _force(x)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        x = stepj(x)
+    _force(x)
     return (time.perf_counter() - t0) / iters
+
+
+def _mask16(t):
+    return t & jnp.uint32(0xFFFF)
 
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     from __graft_entry__ import _flagship_inputs
     from passport_zk_circuits_tpu.models import register_identity as ri
-    from passport_zk_circuits_tpu.models import passport_verification as pv
     from passport_zk_circuits_tpu.ops import sha2, rsa, smt, poseidon as pos
     from passport_zk_circuits_tpu.ops import babyjubjub as bjj
-    from passport_zk_circuits_tpu.ops import field as fr
 
     p, inputs = _flagship_inputs(batch=batch)
     inputs = jax.device_put(inputs)     # steady-state: no per-call H2D
     pp = inputs.passport
     times = {}
 
-    times["full_step"] = bench_fn(jax.jit(lambda i: ri.forward(p, i)), inputs)
+    def full_step(inp):
+        out = ri.forward(p, inp)
+        mix = out["passport_hash"] ^ out["pk_identity_hash"]
+        sk = (inp.sk_identity ^ mix).at[-1].set(
+            (inp.sk_identity[-1] ^ mix[-1]) & jnp.uint32(0x3FF))
+        return inp._replace(sk_identity=sk)
 
-    sha_fn = jax.jit(lambda w: (
-        sha2.sha_hash_chunks(w[0], p.dg_hash_type),
-        sha2.sha_hash_chunks(w[1], p.dg_hash_type),
-        sha2.sha_hash_chunks(w[2], p.dg_hash_type),
-        sha2.sha_hash_chunks(w[3], p.sig.hash_len)))
-    times["sha_all"] = bench_fn(
-        sha_fn, (pp.dg1_words, pp.dg15_words, pp.ec_words, pp.sa_words))
+    times["full_step"] = chain_time(full_step, inputs)
+
+    def sha_step(words):
+        d1 = sha2.sha_hash_chunks(words[0], p.dg_hash_type)
+        d2 = sha2.sha_hash_chunks(words[1], p.dg_hash_type)
+        d3 = sha2.sha_hash_chunks(words[2], p.dg_hash_type)
+        d4 = sha2.sha_hash_chunks(words[3], p.sig.hash_len)
+        mix = d1[0] ^ d2[0] ^ d3[0] ^ d4[0]          # (B,)
+        return tuple(w ^ mix[None] for w in words)
+
+    times["sha_all"] = chain_time(
+        sha_step, (pp.dg1_words, pp.dg15_words, pp.ec_words, pp.sa_words))
 
     sa_digest = jax.jit(
         lambda w: sha2.sha_hash_chunks(w, p.sig.hash_len))(pp.sa_words)
-    times["rsa_verify"] = bench_fn(
-        jax.jit(lambda s, m, mu, d: rsa.verify_pkcs1v15(
-            s, m, mu, d, p.sig.hash_len, p.sig.key_bits, p.sig.exp)),
-        pp.signature, pp.pubkey, pp.pubkey_mu, sa_digest)
 
-    times["smt_climb"] = bench_fn(
-        jax.jit(lambda r, k, v, b: smt.verify(r, k, v, b)),
-        pp.slave_root, pp.slave_root, pp.slave_root, pp.slave_branches)
+    def rsa_step(sig):
+        ok = rsa.verify_pkcs1v15(sig, pp.pubkey, pp.pubkey_mu, sa_digest,
+                                 p.sig.hash_len, p.sig.key_bits, p.sig.exp)
+        return sig.at[0].set(_mask16(sig[0] ^ ok.astype(jnp.uint32)))
 
-    times["bjj_ladder"] = bench_fn(
-        jax.jit(lambda sk: bjj.base8_mul(sk, sk.shape[1:])),
-        inputs.sk_identity)
+    times["rsa_verify"] = chain_time(rsa_step, pp.signature)
 
-    times["poseidon5"] = bench_fn(
-        jax.jit(lambda x: pos.poseidon([x] * 5)), inputs.sk_identity)
+    def smt_step(root):
+        ok, computed = smt.verify(root, root, root, pp.slave_branches)
+        return _mask16(root ^ computed)
+
+    times["smt_climb"] = chain_time(smt_step, pp.slave_root)
+
+    def bjj_step(sk):
+        px, py = bjj.base8_mul(sk, sk.shape[1:])
+        return _mask16(sk ^ px ^ py)
+
+    times["bjj_ladder"] = chain_time(bjj_step, inputs.sk_identity)
+
+    def pos5_step(x):
+        return _mask16(x ^ pos.poseidon([x] * 5))
+
+    times["poseidon5"] = chain_time(pos5_step, inputs.sk_identity)
 
     dev = jax.devices()[0]
     print(f"backend={dev.platform} device={dev.device_kind} batch={batch}")
