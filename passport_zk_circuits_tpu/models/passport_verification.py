@@ -118,6 +118,16 @@ def forward(p: CircuitParams, inp: PassportInputs):
     dg_algo = p.dg_hash_type
     sa_algo = p.sig.hash_len
     ec_algo = ec_hash_type(p)
+    if dg_algo > ec_algo:
+        # The reference only compiles when EC_HASH_TYPE >= DG_HASH_TYPE:
+        # flow check #3 indexes encapsulatedContentHash[i] for i <
+        # DG_HASH_TYPE (passportVerificationFlow.circom:57-62 with
+        # HASH_SIZE = DG_HASH_TYPE, builder wiring
+        # passportVerificationBuilder.circom:147) — out of bounds, a circom
+        # compile error. Surface the same invalidity explicitly.
+        raise ValueError(
+            f"invalid config: DG hash ({dg_algo}) wider than EC hash "
+            f"({ec_algo}) — rejected by the reference at compile time")
 
     _, dg1_flat = _hash_blob(inp.dg1_words, dg_algo)
     dg15_flat = None

@@ -47,6 +47,20 @@ def interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def use_pallas() -> bool:
+    """Route hot ops through the fused Pallas kernels?
+
+    Default: only on real TPU (CPU interpret mode is far slower than the
+    XLA path and only useful for parity tests). Override with PZK_PALLAS=1
+    (force on, incl. interpreted) / PZK_PALLAS=0 (force off).
+    """
+    import os
+    env = os.environ.get("PZK_PALLAS")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() == "tpu"
+
+
 # ---------------------------------------------------------------------------
 # jnp building blocks (kernel-safe: no host callbacks, static shapes)
 # ---------------------------------------------------------------------------

@@ -61,13 +61,38 @@ def test_rsa_family(sig, dg_hash, ec_shift):
 
 
 # ECDSA ids beyond the p256 e2e in test_register_variants. Algo 25 hashes
-# with SHA-384 (1024-bit SA blocks) -> low ec_shift, like algo 13.
-@pytest.mark.parametrize("sig,ec_shift", [
-    (21, 600),        # brainpoolP256r1, SHA-256
-    (22, 600),        # brainpoolP320r1, SHA-256
-    (23, 600),        # secp192r1, SHA-1
-    (24, 600),        # secp224r1, SHA-224 (32-bit chunk quirk in reference)
-    (25, 200),        # brainpoolP384r1, SHA-384
+# with SHA-384 (1024-bit SA blocks) -> low ec_shift, like algo 13. Algo 23
+# signs with SHA-1, and the reference only compiles when EC_HASH_TYPE >=
+# DG_HASH_TYPE (flow check #3 indexes the EC digest with DG_HASH_TYPE
+# bits), so its DG hashes must be SHA-1 too.
+@pytest.mark.parametrize("sig,dg_hash,ec_shift", [
+    (21, 256, 600),   # brainpoolP256r1, SHA-256
+    (22, 256, 600),   # brainpoolP320r1, SHA-256
+    (23, 160, 600),   # secp192r1, SHA-1 (SHA-1 DG hashes)
+    (24, 256, 600),   # secp224r1, SHA-224 SA but SHA-256 EC (ref quirk)
+    (25, 256, 200),   # brainpoolP384r1, SHA-384
 ])
-def test_ecdsa_family(sig, ec_shift):
-    _run_and_check(_params(sig, ec_shift=ec_shift), B=1)
+def test_ecdsa_family(sig, dg_hash, ec_shift):
+    _run_and_check(_params(sig, dg_hash=dg_hash, ec_shift=ec_shift), B=1)
+
+
+def test_dg_hash_wider_than_ec_hash_rejected():
+    """DG_HASH_TYPE > EC_HASH_TYPE is a circom compile error in the
+    reference (passportVerificationFlow.circom:57-62 would index the EC
+    digest out of bounds); the framework rejects it explicitly."""
+    import jax.numpy as jnp
+    from passport_zk_circuits_tpu.models.passport_verification import \
+        PassportInputs
+    p = _params(23, dg_hash=256, ec_shift=600)   # SHA-1 sig, SHA-256 DGs
+    z = jnp.zeros((16, 1), dtype=jnp.uint32)
+    inp = PassportInputs(
+        dg1_words=jnp.zeros((32, 1), jnp.uint32),
+        dg15_words=jnp.zeros((16, 1), jnp.uint32),
+        ec_words=jnp.zeros((64, 1), jnp.uint32),
+        sa_words=jnp.zeros((32, 1), jnp.uint32),
+        signature=z, pubkey=jnp.zeros((24, 1), jnp.uint32),
+        pubkey_mu=z, slave_root=z,
+        slave_branches=jnp.zeros((16, 80, 1), jnp.uint32))
+    with pytest.raises(ValueError, match="DG hash"):
+        from passport_zk_circuits_tpu.models import passport_verification
+        passport_verification.forward(p, inp)
