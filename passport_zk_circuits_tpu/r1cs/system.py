@@ -144,11 +144,33 @@ def _sparse_matvec(rows, cols, coeff_limbs, w, n_rows):
     return jnp.moveaxis(red, 1, 0)
 
 
-def check_batched(cs: ConstraintSystem, witness):
+def check_batched(cs: ConstraintSystem, witness, row_chunk: int = 131072):
     """witness: (n_vars, 16, B) Fr limbs (wire 0 must be 1).
-    Returns (all_ok (B,), per_constraint_ok (n_constraints, B))."""
-    (ra, ca, va), (rb, cb, vb), (rc, cc, vc) = cs.matrices()
+    Returns (all_ok (B,), per_constraint_ok (n_constraints, B)).
+
+    Systems past `row_chunk` constraints are evaluated in row slices so
+    the intermediate (nnz, 32, B) product tensors stay bounded — the
+    flagship RegisterIdentity lowering is ~515k constraints / ~2M nnz."""
+    mats = cs.matrices()
     n = cs.n_constraints
+    if n <= row_chunk:
+        return _check_rows(mats, witness, 0, n)
+    witness = jnp.asarray(witness)
+    oks = []
+    for lo in range(0, n, row_chunk):
+        _, ok = _check_rows(mats, witness, lo, min(n, lo + row_chunk))
+        oks.append(ok)
+    ok = jnp.concatenate(oks, axis=0)
+    return jnp.all(ok, axis=0), ok
+
+
+def _check_rows(mats, witness, lo: int, hi: int):
+    parts = []
+    for rows, cols, coeffs in mats:
+        m = (rows >= lo) & (rows < hi)
+        parts.append((rows[m] - lo, cols[m], coeffs[m]))
+    (ra, ca, va), (rb, cb, vb), (rc, cc, vc) = parts
+    n = hi - lo
     az = _sparse_matvec(ra, ca, va, witness, n)     # (n, 16, B)
     bz = _sparse_matvec(rb, cb, vb, witness, n)
     cz = _sparse_matvec(rc, cc, vc, witness, n)

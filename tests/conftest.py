@@ -14,6 +14,27 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+
+# -- slow-tier policy (SURVEY §4 / driver round budget) ----------------------
+# Default `pytest -q` stays under the round budget; the full sweep tier
+# (every SIG_ALGO e2e, property sweeps, proof-level tests) runs with
+# --runslow / PZK_SLOW=1 (or just that tier with `-m slow`).
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow as well")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    if (config.getoption("--runslow") or os.environ.get("PZK_SLOW") == "1"
+            or config.getoption("-m")):
+        return
+    skip = pytest.mark.skip(reason="slow tier: use --runslow / PZK_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 # Persistent compilation cache: repeated test runs skip XLA recompiles.
 _cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))

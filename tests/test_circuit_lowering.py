@@ -1,0 +1,203 @@
+"""R1CS lowering: gadget-level golden tests + RegisterIdentityLight e2e.
+
+Mirrors the reference's constraint-check discipline: every witness is run
+through the batched Az∘Bz−Cz sanitizer
+(/root/reference/test/automatisationTest.js:51 checkConstraints), and
+outputs are compared bit-exactly against the same host oracles that gate
+the witness programs."""
+
+import hashlib
+import random
+
+import numpy as np
+import pytest
+
+from passport_zk_circuits_tpu.circuit import Builder
+from passport_zk_circuits_tpu.circuit import poseidon as cpose
+from passport_zk_circuits_tpu.circuit import babyjubjub as cbjj
+from passport_zk_circuits_tpu.circuit import sha256 as csha
+from passport_zk_circuits_tpu.r1cs.system import check_batched
+from passport_zk_circuits_tpu.utils import poseidon_ref as pref
+from passport_zk_circuits_tpu.utils import babyjubjub_ref as bref
+
+
+def _check(b):
+    ok, _ = check_batched(b.cs, b.witness_matrix())
+    assert np.asarray(ok).all()
+
+
+def test_builder_gadgets():
+    b = Builder(3)
+    x = b.input([5, 0, 7])
+    z = b.is_zero(x)
+    assert z.ints() == [0, 1, 0]
+    e = b.is_equal(x, b.const(7))
+    assert e.ints() == [0, 0, 1]
+    s = b.select(e, x + 1, x.scale(2))
+    assert s.ints() == [10, 0, 8]
+    bits = b.num2bits(x, 3)
+    assert [bt.ints() for bt in bits] == [[1, 0, 1], [0, 0, 1], [1, 0, 1]]
+    lt = b.lt_const(x, 6, 3)
+    assert lt.ints() == [1, 1, 0]
+    _check(b)
+
+
+def test_builder_detects_bad_hint():
+    b = Builder(1)
+    x = b.input([4])
+    y = b.hint([9], "bad")
+    # pairing constraint is wrong on purpose: y must equal x * 2
+    b.cs.constrain({1: 2}, {0: 1}, {2: 1})   # 2x = y -> 8 != 9
+    ok, per = check_batched(b.cs, b.witness_matrix())
+    assert not np.asarray(ok).all()
+
+
+def test_poseidon_gadget_matches_oracle():
+    b = Builder(2)
+    xs = b.input([3, 11])
+    ys = b.input([4, 12])
+    h = cpose.poseidon(b, [xs, ys])
+    assert h.ints() == [pref.poseidon([3, 4]), pref.poseidon([11, 12])]
+    h1 = cpose.poseidon(b, [xs])
+    assert h1.ints() == [pref.poseidon([3]), pref.poseidon([11])]
+    _check(b)
+
+
+def test_babyjubjub_gadget_matches_oracle():
+    rng = random.Random(1)
+    sks = [rng.randrange(1, pref.P) for _ in range(2)]
+    b = Builder(2)
+    sk = b.input(sks)
+    px, py = cbjj.base8_mul(b, sk)
+    for i, s in enumerate(sks):
+        x, y = bref.base8_mul(s % (1 << 254))
+        assert px.ints()[i] == x and py.ints()[i] == y
+    _check(b)
+
+
+def test_sha256_gadget_matches_hashlib():
+    from passport_zk_circuits_tpu.ingest import native
+    rng = random.Random(2)
+    msgs = [bytes(rng.randrange(256) for _ in range(50)),
+            bytes(rng.randrange(256) for _ in range(50))]
+    words = native.pad_words32_batch(msgs, 512, 1)
+    b = Builder(2)
+    bits = []
+    for w in range(words.shape[0]):
+        for i in range(31, -1, -1):
+            s = b.input([(int(v) >> i) & 1 for v in words[w]])
+            b.enforce_bool(s)
+            bits.append(s)
+    digest = csha.sha_hash_chunks(b, bits, 256)
+    for lane in range(2):
+        want = hashlib.sha256(msgs[lane]).digest()
+        got_bits = [bt.ints()[lane] for bt in digest]
+        got = bytes(
+            sum(got_bits[8 * i + k] << (7 - k) for k in range(8))
+            for i in range(32))
+        assert got == want
+    _check(b)
+
+
+@pytest.mark.slow
+def test_register_light_lowering_e2e():
+    from passport_zk_circuits_tpu.circuit import register_light
+    rng = random.Random(42)
+    B = 2
+    dg1s = [bytes(rng.randrange(256) for _ in range(93)) for _ in range(B)]
+    sks = [rng.randrange(1, pref.P) for _ in range(B)]
+    b, outs = register_light.build(dg1s, sks)
+
+    for i in range(B):
+        dig = hashlib.sha256(dg1s[i]).digest()
+        assert outs["dg1_hash"].ints()[i] == \
+            int.from_bytes(dig, "big") & ((1 << 248) - 1)
+        bits = [(byte >> (7 - k)) & 1 for byte in dg1s[i] for k in range(8)]
+        chunks = [sum(bits[j * 186 + t] << t for t in range(186))
+                  for j in range(4)]
+        assert outs["dg1_commitment"].ints()[i] == \
+            pref.poseidon(chunks + [pref.poseidon([sks[i]])])
+        x, y = bref.base8_mul(sks[i] % (1 << 254))
+        assert outs["pk_identity_hash"].ints()[i] == pref.poseidon([x, y])
+
+    commit_ints = outs["dg1_commitment"].ints()
+    pub = b.finalize([outs["dg1_commitment"], outs["pk_identity_hash"],
+                      outs["dg1_hash"]])
+    # NOTE: Sig objects hold pre-permutation wire indices — do not evaluate
+    # them after finalize(); use the returned public values instead.
+    assert len(pub) == 3 and b.n_public == 3
+    # public wires sit at 1..3 with the right values
+    assert [int(v) for v in b.vals[1]] == commit_ints == pub[0]
+    _check(b)
+
+
+def test_bignum_gadgets_match_ints():
+    from passport_zk_circuits_tpu.circuit import bignum as cbn
+    rng = random.Random(3)
+    B = 2
+    b = Builder(B)
+    xs = [rng.getrandbits(256) for _ in range(B)]
+    ys = [rng.getrandbits(256) for _ in range(B)]
+    ms = [rng.getrandbits(255) | (1 << 255) | 1 for _ in range(B)]
+    x = cbn.from_input(b, xs, 4)
+    y = cbn.from_input(b, ys, 4)
+    m = cbn.from_input(b, ms, 4)
+    z = cbn.mult(b, x, y)
+    assert z.vals == [a * c for a, c in zip(xs, ys)]
+    assert [sum(int(l.ints()[i]) << (64 * j)
+                for j, l in enumerate(z.limbs)) for i in range(B)] == z.vals
+    r = cbn.mod_mul(b, x, y, m, canonical=True)
+    assert r.vals == [a * c % d for a, c, d in zip(xs, ys, ms)]
+    c = cbn.lt(b, x, y)
+    assert c.ints() == [int(a < d) for a, d in zip(xs, ys)]
+    p = cbn.pow_mod(b, x, 65537, m)
+    assert p.vals == [pow(a, 65537, d) for a, d in zip(xs, ms)]
+    _check(b)
+
+
+def test_smt_gadget_matches_witness_ops():
+    """Constraint SMT verdict == ops/smt.verify on a 1-leaf tree + a
+    negative case (wrong root)."""
+    from passport_zk_circuits_tpu.circuit import smt as csmt
+    key = pref.poseidon([77])
+    value = key
+    root = pref.poseidon([key, value, 1])
+    b = Builder(2)
+    rt = b.input([root, (root + 1) % pref.P])
+    k = b.input([key, key])
+    v = b.input([value, value])
+    branches = [b.input([0, 0]) for _ in range(80)]
+    ok = csmt.verify(b, rt, k, v, branches)
+    assert ok.ints() == [1, 0]
+    _check(b)
+
+
+@pytest.mark.slow
+def test_register_identity_flagship_lowering():
+    """The flagship config lowered to R1CS: outputs bit-exact vs the
+    synthetic oracles, full constraint check green
+    (automatisationTest.js:51 checkConstraints analog for the REAL
+    circuit, not a demo system)."""
+    from passport_zk_circuits_tpu.models.params import CircuitParams
+    from passport_zk_circuits_tpu.ingest import synthetic
+    from passport_zk_circuits_tpu.circuit import register_identity as cri
+
+    p = CircuitParams.from_name(
+        "registerIdentity_1_256_3_4_600_248_1_1496_3_256")
+    rng = random.Random(7)
+    pps = []
+    signer = aa = None
+    for _ in range(2):
+        pp = synthetic.make_synthetic_passport(p, rng, signer_key=signer,
+                                               aa_key=aa)
+        signer, aa = pp["signer_key"], pp["aa_key"]
+        pps.append(pp)
+    b, outs = cri.build(p, pps)
+    assert b.cs.n_constraints > 400_000
+    want = [synthetic.expected_outputs(p, pp) for pp in pps]
+    for key in ("passport_hash", "dg1_commitment", "pk_identity_hash",
+                "dg15_pubkey_hash"):
+        assert outs[key].ints() == [w[key] for w in want]
+    assert outs["smt_ok"].ints() == [1, 1]
+    ok, _ = check_batched(b.cs, b.witness_matrix())
+    assert np.asarray(ok).all()
