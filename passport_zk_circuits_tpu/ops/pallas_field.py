@@ -47,18 +47,34 @@ def interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _verified_marker_path():
+    import os
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".pallas_verified")
+
+
 def use_pallas() -> bool:
     """Route hot ops through the fused Pallas kernels?
 
-    Default: only on real TPU (CPU interpret mode is far slower than the
-    XLA path and only useful for parity tests). Override with PZK_PALLAS=1
-    (force on, incl. interpreted) / PZK_PALLAS=0 (force off).
-    """
+    PZK_PALLAS=1 forces on (incl. CPU interpret — only useful for parity
+    tests; interpret mode is far slower than the XLA path), PZK_PALLAS=0
+    forces off. Default: on real TPU only when the `.pallas_verified`
+    marker exists at the repo root. The marker is written exclusively by
+    `tools/verify_pallas_tpu.py`, which runs every fused kernel on the
+    actual chip under a timeout and bit-checks it against the XLA path.
+
+    Rationale: round 3 shipped kernels that passed CPU-interpret tests but
+    failed Mosaic compilation on the real chip (`unsupported shape cast`),
+    breaking the flagship on the only real hardware — and a Mosaic compile
+    can also hang, so an in-process probe is not a safe gate. The default
+    path therefore never routes through a kernel that has not been
+    positively verified on this hardware."""
     import os
     env = os.environ.get("PZK_PALLAS")
     if env is not None:
         return env != "0"
-    return jax.default_backend() == "tpu"
+    return (jax.default_backend() == "tpu"
+            and os.path.exists(_verified_marker_path()))
 
 
 # ---------------------------------------------------------------------------

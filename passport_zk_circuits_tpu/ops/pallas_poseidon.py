@@ -9,7 +9,10 @@ in tensor width (up to ~256K elements). The XLA Poseidon (ops/poseidon.py,
 only when whole loops share ONE pallas_call.
 
 So this module provides:
-  * ``poseidon_ex``  — one permutation per pallas_call (any t = 2..9)
+  * ``poseidon_ex``  — one permutation per pallas_call (t = 2..8; t = 9
+    would break the f32-exactness bound of the static MDS byte matmul,
+    bn.linmap_matrix's t_in*min(2n,2m)*65025 < 2^24 assert — same cap as
+    the XLA path's linmap_static)
   * ``smt_climb``    — the ENTIRE N-level climb (N inlined t=3
     permutations under an in-kernel fori_loop) in one pallas_call
 
@@ -201,10 +204,17 @@ def _limbs_of(c8):
 
 
 def _dot(m, x):
-    """m @ x over x's leading axis, trailing dims flattened and restored."""
-    sh = x.shape
-    y = jax.lax.dot(m, x.reshape(sh[0], -1), precision=_HI)
-    return y.reshape((m.shape[0],) + sh[1:])
+    """m @ x over x's leading axis. Rank-3 x (rows, t, B) is unrolled into
+    t rank-2 dots: Mosaic rejects reshapes that merge the minor (lane) dim
+    — the exact `unsupported shape cast` that broke round 3 on the chip
+    (verified by tools/probe_mosaic.py: reshape_merge_major on the leading
+    dims passes, flattening (t, B) -> (t*B,) does not)."""
+    if x.ndim == 2:
+        return jax.lax.dot(m, x, precision=_HI)
+    assert x.ndim == 3
+    cols = [jax.lax.dot(m, x[:, j], precision=_HI)
+            for j in range(x.shape[1])]
+    return jnp.stack(cols, axis=1)
 
 
 def _barrett2p(t32, c):
@@ -325,8 +335,10 @@ def _pose_body(state, c, refs, t: int, nP: int, n_outs: int):
 
     state = _sigma(state, c)
     out = _mix_with(c["m_mat"], state, c, t)[:, :n_outs]
-    flat = _canon(out.reshape(NL, n_outs * B), c)
-    return flat.reshape(NL, n_outs, B)
+    # canonicalize column-wise: flattening (n_outs, B) would merge the
+    # minor dim (Mosaic-unsupported); n_outs is tiny and static.
+    cols = [_canon(out[:, j], c) for j in range(n_outs)]
+    return jnp.stack(cols, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -364,19 +376,13 @@ def _permute(state, t: int, n_outs: int):
     )(state, *[c[k] for k in _CONST_KEYS])
 
 
-def _smt_kernel(n_levels, nP, nP4, sibs_ref, lr_ref, top_ref, inew_ref,
-                key_ref, value_ref, *rest):
+def _smt_kernel(n_levels, nP, sibs_ref, lr_ref, top_ref, inew_ref,
+                leaf_ref, *rest):
     crefs3 = rest[:len(_CONST_KEYS)]
-    crefs4 = rest[len(_CONST_KEYS):2 * len(_CONST_KEYS)]
     out_ref = rest[-1]
     c, refs = _split_consts(crefs3)
-    c4, refs4 = _split_consts(crefs4)
-    B = key_ref.shape[1]
-    # leaf = Poseidon3(key, value, 1)  (SMTHash1, SMTVerifier.circom:10-21)
-    one = pf._const_limbs((1,) + (0,) * (NL - 1), (B,))
-    leaf_st = jnp.stack([jnp.zeros((NL, B), jnp.uint32),
-                         key_ref[:], value_ref[:], one], axis=1)
-    leaf = _pose_body(leaf_st, c4, refs4, 4, nP4, 1)[:, 0]
+    B = leaf_ref.shape[1]
+    leaf = leaf_ref[:]
 
     def level(i, child):
         sib = sibs_ref[pl.ds(i * NL, NL), :]               # (16, B)
@@ -397,7 +403,10 @@ def _smt_kernel(n_levels, nP, nP4, sibs_ref, lr_ref, top_ref, inew_ref,
 
 @jax.jit
 def smt_climb(siblings_flip, lrbits_flip, top_flip, inew_flip, key, value):
-    """Whole SMT root climb (leaf hash included) in ONE pallas_call.
+    """Whole SMT root climb in ONE pallas_call (plus one t=4 permutation
+    call for the leaf hash — keeping the t=4 constant pack and body OUT of
+    the climb kernel stays under the 16 MB scoped-VMEM limit; the fused
+    both-in-one variant OOMs Mosaic's stack allocator at 18.4 MB on v5e).
 
     siblings_flip: (N*16, B) — deepest level first, 16 limb rows per level;
     lrbits/top/inew_flip: (N, B) u32 flags (deepest first); key/value:
@@ -406,24 +415,24 @@ def smt_climb(siblings_flip, lrbits_flip, top_flip, inew_flip, key, value):
     (SMTVerifier.circom:10-21, 109-175)."""
     n_levels = lrbits_flip.shape[0]
     c3 = _consts(3)
-    c4 = _consts(4)
     B = key.shape[1]
-    kern = functools.partial(_smt_kernel, n_levels, c3["nP"], c4["nP"])
+    one = jnp.zeros((NL, B), jnp.uint32).at[0].set(1)
+    # leaf = Poseidon3(key, value, 1)  (SMTHash1, SMTVerifier.circom:10-21)
+    leaf = poseidon_ex(jnp.stack([key, value, one], axis=1), 1)[:, 0]
+    kern = functools.partial(_smt_kernel, n_levels, c3["nP"])
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((NL, B), jnp.uint32),
-        in_specs=[vmem] * (6 + 2 * len(_CONST_KEYS)),
+        in_specs=[vmem] * (5 + len(_CONST_KEYS)),
         out_specs=vmem,
         interpret=pf.interpret_mode(),
     )(jnp.asarray(siblings_flip, jnp.uint32),
       jnp.asarray(lrbits_flip, jnp.uint32),
       jnp.asarray(top_flip, jnp.uint32),
       jnp.asarray(inew_flip, jnp.uint32),
-      jnp.asarray(key, jnp.uint32),
-      jnp.asarray(value, jnp.uint32),
-      *[c3[k] for k in _CONST_KEYS],
-      *[c4[k] for k in _CONST_KEYS])
+      leaf,
+      *[c3[k] for k in _CONST_KEYS])
 
 
 # ---------------------------------------------------------------------------

@@ -110,6 +110,13 @@ def poseidon_ex(inputs, n_outs: int = 1, initial_state=None):
     t = n + 1
     if not (2 <= t <= 17):
         raise ValueError("poseidon supports 1..16 inputs")
+    from . import pallas_field as pf
+    if t <= 8 and pf.use_pallas():
+        # one fused VMEM-resident permutation per call — the XLA graph
+        # below issues ~45 ops/round and is issue-overhead-bound on this
+        # environment (see ops/pallas_poseidon module docstring)
+        from . import pallas_poseidon as ppk
+        return ppk.poseidon_ex(inputs, n_outs, initial_state)
     c = _consts(t)
     B = inputs.shape[2:]
 

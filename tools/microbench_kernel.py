@@ -111,17 +111,20 @@ def main():
     mod_m = jnp.asarray(cs["mod_m"])
 
     def modmul_mxu(x, c, conv, mu_m, mod_m):
-        return ppk._modmul(x, c, conv, mu_m, mod_m)
+        consts = {"conv": conv, "mu_m": mu_m, "mod_m": mod_m}
+        return ppk._modmul(x, c, consts)
     res["modmul_mxu"] = run_loop(modmul_mxu, 64, a, c, conv, mu_m, mod_m)
 
-    def modmul_rows(x, c, mu_m, mod_m):
-        return ppk._barrett(pf._carry16(school_rows(x, c), 32), mu_m, mod_m)
+    def modmul_rows_mxu_barrett(x, c, mu_m, mod_m):
+        consts = {"mu_m": mu_m, "mod_m": mod_m}
+        return ppk._barrett2p(pf._carry16(school_rows(x, c), 32), consts)
     res["modmul_rows_mxu_barrett"] = run_loop(
-        modmul_rows, 64, a, c, mu_m, mod_m)
+        modmul_rows_mxu_barrett, 64, a, c, mu_m, mod_m)
 
     def barrett_only(x, c, mu_m, mod_m):
+        consts = {"mu_m": mu_m, "mod_m": mod_m}
         t = jnp.concatenate([x, x], axis=0)
-        return ppk._barrett(t, mu_m, mod_m)
+        return ppk._barrett2p(t, consts)
     res["barrett_mxu_only"] = run_loop(barrett_only, 64, a, c, mu_m, mod_m)
 
     def barrett_vpu_only(x, c):
