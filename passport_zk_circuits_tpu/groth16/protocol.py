@@ -61,7 +61,10 @@ class ProvingKey:
     b1_query: np.ndarray
     k_query: np.ndarray                 # (2, k, n_vars - n_public - 1)
     h_query: np.ndarray                 # (2, k, m - 1)
-    b2_query: list                      # list of FQ2 affine points / None
+    v_scalars: list                     # v_j(tau) Fr scalars (DEV-ONLY: a
+    #   production PK must carry [v_j(tau)]G2 points and a G2 MSM instead;
+    #   with the seeded dev ceremony the scalars are no more secret than
+    #   the seed, and they collapse pi_B to one G2 mult per proof)
     a_inf: np.ndarray                   # bool masks: query point is infinity
     b1_inf: np.ndarray
     k_inf: np.ndarray
@@ -119,21 +122,69 @@ def _g1_points_to_limbs(points) -> Tuple[np.ndarray, np.ndarray]:
 
 # -- setup --------------------------------------------------------------------
 
+def _batch_inverse(xs: List[int]) -> List[int]:
+    """Montgomery batch inversion: one Fermat pow for the whole list."""
+    pref = [1] * (len(xs) + 1)
+    for i, x in enumerate(xs):
+        pref[i + 1] = pref[i] * x % fr.P
+    inv_all = pow(pref[-1], fr.P - 2, fr.P)
+    out = [0] * len(xs)
+    for i in range(len(xs) - 1, -1, -1):
+        out[i] = pref[i] * inv_all % fr.P
+        inv_all = inv_all * xs[i] % fr.P
+    return out
+
+
 def _lagrange_at_tau(m: int, tau: int) -> List[int]:
     """L_i(tau) for the size-m subgroup: L_i(tau) = w^i (tau^m - 1)/(m (tau - w^i))."""
     w = _ntt.root_of_unity(m.bit_length() - 1)
     zh = (pow(tau, m, fr.P) - 1) % fr.P
     if zh == 0:
         raise ValueError("tau landed in the domain; re-seed")
-    out = []
-    wi = 1
+    wis = [1] * m
+    for i in range(1, m):
+        wis[i] = wis[i - 1] * w % fr.P
+    denom_inv = _batch_inverse([(tau - wi) % fr.P for wi in wis])
     m_inv = pow(m, fr.P - 2, fr.P)
-    for _ in range(m):
-        denom = (tau - wi) % fr.P
-        out.append(wi * zh % fr.P * m_inv % fr.P
-                   * pow(denom, fr.P - 2, fr.P) % fr.P)
-        wi = wi * w % fr.P
-    return out
+    scale = zh * m_inv % fr.P
+    return [wi * scale % fr.P * di % fr.P
+            for wi, di in zip(wis, denom_inv)]
+
+
+_FB_CHUNK = 8192
+
+
+def _g1_mul_many(scalars: List[int]) -> Tuple[np.ndarray, np.ndarray]:
+    """[s]G1 for a list of Fr scalars -> ((2, k, N) affine limb tensor,
+    infinity mask). Small lists run host-side; large ones ride the batched
+    device fixed-base ladder (ops/weierstrass.fixed_base_mul, the stride-8
+    analog of the reference's ec/powers tables) — this is what makes
+    setup feasible at the flagship's ~512k-wire scale (the host loop is
+    ~ms per point; the device path is ~us)."""
+    n = len(scalars)
+    scalars = [s % fr.P for s in scalars]
+    if n <= 512:
+        pts = [_g1_mul(s) for s in scalars]
+        return _g1_points_to_limbs(pts)
+    c = _wctx("bn254_g1")
+    inf = np.array([s == 0 for s in scalars], dtype=bool)
+    xs = np.zeros((c.k, n), np.uint32)
+    ys = np.zeros((c.k, n), np.uint32)
+
+    from ..ops import weierstrass as wst
+
+    @jax.jit
+    def fb(sl):
+        return wst.to_affine(c, wst.fixed_base_mul(c, sl))
+
+    for lo in range(0, n, _FB_CHUNK):
+        hi = min(n, lo + _FB_CHUNK)
+        chunk = scalars[lo:hi] + [0] * (_FB_CHUNK - (hi - lo))
+        sl = bn.ints_to_limbs_batch(chunk, c.kn)
+        x, y = fb(jnp.asarray(sl))
+        xs[:, lo:hi] = np.asarray(x)[:, :hi - lo]
+        ys[:, lo:hi] = np.asarray(y)[:, :hi - lo]
+    return np.stack([xs, ys]), inf
 
 
 def setup(cs: ConstraintSystem, n_public: int, seed: int = 0):
@@ -156,29 +207,26 @@ def setup(cs: ConstraintSystem, n_public: int, seed: int = 0):
     delta_inv = pow(delta, fr.P - 2, fr.P)
     zh = (pow(tau, m, fr.P) - 1) % fr.P
 
-    a_pts = [_g1_mul(u[j]) for j in range(nv)]
-    b1_pts = [_g1_mul(v[j]) for j in range(nv)]
-    b2_pts = [pr.ec_mul(pr.G2, v[j]) for j in range(nv)]
     k_scalars = [(beta * u[j] + alpha * v[j] + w_[j]) % fr.P * delta_inv % fr.P
                  for j in range(n_public + 1, nv)]
-    k_pts = [_g1_mul(s) for s in k_scalars]
-    h_pts = [_g1_mul(pow(tau, i, fr.P) * zh % fr.P * delta_inv % fr.P)
-             for i in range(m - 1)]
+    tau_pows = [1] * (m - 1)
+    for i in range(1, m - 1):
+        tau_pows[i] = tau_pows[i - 1] * tau % fr.P
+    zd = zh * delta_inv % fr.P
+    a_q, a_inf = _g1_mul_many(u)
+    b1_q, b1_inf = _g1_mul_many(v)
+    k_q, k_inf = _g1_mul_many(k_scalars)
+    h_q, h_inf = _g1_mul_many([t * zd % fr.P for t in tau_pows])
+    assert not h_inf.any()
     ic = [_g1_mul((beta * u[j] + alpha * v[j] + w_[j]) % fr.P
                   * gamma_inv % fr.P) for j in range(n_public + 1)]
-
-    a_q, a_inf = _g1_points_to_limbs(a_pts)
-    b1_q, b1_inf = _g1_points_to_limbs(b1_pts)
-    k_q, k_inf = _g1_points_to_limbs(k_pts)
-    h_q, h_inf = _g1_points_to_limbs(h_pts)
-    assert not h_inf.any()
 
     pk = ProvingKey(
         n_public=n_public, domain_size=m,
         alpha1=_g1_mul(alpha), beta1=_g1_mul(beta), delta1=_g1_mul(delta),
         beta2=pr.ec_mul(pr.G2, beta), delta2=pr.ec_mul(pr.G2, delta),
         a_query=a_q, b1_query=b1_q, k_query=k_q, h_query=h_q,
-        b2_query=b2_pts, a_inf=a_inf, b1_inf=b1_inf, k_inf=k_inf)
+        v_scalars=v, a_inf=a_inf, b1_inf=b1_inf, k_inf=k_inf)
     vk = VerifyingKey(
         n_public=n_public, alpha1=pk.alpha1, beta2=pk.beta2,
         gamma2=pr.ec_mul(pr.G2, gamma), delta2=pk.delta2, ic=ic)
@@ -293,12 +341,15 @@ def prove(pk: ProvingKey, cs: ConstraintSystem, witness, seed: int = 1):
         # pi_A = alpha + sum w_j u_j(tau) + r delta
         pi_a = pr.ec_add(pr.ec_add(_g1_wrap(pk.alpha1), _g1_wrap(a_sum)),
                          pr.ec_mul(_g1_wrap(pk.delta1), r_rand))
-        # pi_B (G2) = beta + sum w_j v_j(tau) + s delta
-        pi_b2 = pr.ec_add(pk.beta2, pr.ec_mul(pk.delta2, s_rand))
+        # pi_B (G2) = beta + [sum w_j v_j(tau)] + s delta: the sum rides
+        # ONE G2 scalar mult via the dev-mode v_scalars (see ProvingKey)
+        vw = 0
         for j in range(nv):
             wj = w_ints[j][lane]
-            if wj and pk.b2_query[j] is not None:
-                pi_b2 = pr.ec_add(pi_b2, pr.ec_mul(pk.b2_query[j], wj))
+            if wj:
+                vw = (vw + wj * pk.v_scalars[j]) % fr.P
+        pi_b2 = pr.ec_add(pk.beta2, pr.ec_mul(pk.delta2, s_rand))
+        pi_b2 = pr.ec_add(pi_b2, pr.ec_mul(pr.G2, vw))
         # pi_B in G1 (for pi_C)
         pi_b1 = pr.ec_add(pr.ec_add(_g1_wrap(pk.beta1), _g1_wrap(b1_sum)),
                           pr.ec_mul(_g1_wrap(pk.delta1), s_rand))

@@ -90,20 +90,37 @@ def shard_global_inputs(tree, mesh: Mesh):
 def throughput_harness(forward_fn, inputs, mesh: Mesh, iters: int = 5):
     """Measure witnesses/sec at the current topology.
 
-    Returns dict with global/per-chip throughput and the verdict count
-    (the psum-style reduction that actually crosses ICI/DCN).
+    Chained-input methodology (shared with bench.py): each timed step's
+    sk_identity is derived from the previous step's outputs, so steps
+    serialize and every one must truly execute — repeated calls on
+    identical device buffers are elided by this runtime and time only
+    dispatch (the round-1/2 mistake documented in BASELINE.md:50-63).
+    `inputs` must be RegisterIdentityInputs (sk_identity is the chained
+    field). Returns dict with global/per-chip throughput and the verdict
+    count (the psum-style reduction that actually crosses ICI/DCN).
     """
-    fwd = jax.jit(forward_fn)
-    out = fwd(inputs)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    def step(inp):
+        out = forward_fn(inp)
+        mix = out["passport_hash"] ^ out["pk_identity_hash"]
+        sk = (inp.sk_identity ^ mix).at[-1].set(
+            (inp.sk_identity[-1] ^ mix[-1]) & jnp.uint32(0x3FF))
+        return inp._replace(sk_identity=sk), out
+
+    stepj = jax.jit(step)
+    x, out = stepj(inputs)
+    _ = jax.device_get(out["flow_ok"])          # compile + first run fence
     t0 = time.time()
     for _ in range(iters):
-        out = fwd(inputs)
-    jax.block_until_ready(out)
+        x, out = stepj(x)
+    # fetching concrete bytes of a value depending on the last step is the
+    # only reliable fence here (see bench.py); block_until_ready is not.
+    ok = jax.device_get(out["flow_ok"] & out["sig_ok"] & out["smt_ok"])
+    _ = jax.device_get(x.sk_identity[0:1, 0:1])
     dt = (time.time() - t0) / iters
 
-    ok = out["flow_ok"] & out["sig_ok"] & out["smt_ok"]
-    n_ok = int(jax.jit(lambda o: o.sum())(ok))
+    n_ok = int(ok.sum())
     batch = int(np.prod(ok.shape))
     n_dev = len(jax.devices())
     return {
