@@ -79,8 +79,15 @@ def select_point(cond, p, q):
 def scalar_mul(scalar, point, nbits: int = 254):
     """scalar: (16, *B) Fr limbs (used as an integer, like the reference's
     Num2Bits(254) ladder, curve.circom:143-171); point: affine (x, y) limb
-    pair. Returns affine (x, y). LSB-first double-and-add under lax.scan."""
+    pair. Returns affine (x, y). LSB-first double-and-add under lax.scan;
+    on verified TPU the whole ladder runs as ONE fused Pallas kernel
+    (ops/pallas_babyjubjub.ladder)."""
     x, y = point
+    from . import pallas_field as pf
+    if pf.use_pallas() and x.ndim == 2:
+        from . import pallas_babyjubjub as pbjj
+        bits_u = fr.to_bits(scalar, nbits)
+        return to_affine(pbjj.ladder(bits_u, x, y))
     bits = fr.to_bits(scalar, nbits).astype(bool)    # (nbits, *B)
     base0 = to_extended(x, y)
 

@@ -361,6 +361,18 @@ def _pose_kernel(t, nP, n_outs, st_ref, *rest):
     out_ref[:] = out.swapaxes(0, 1).reshape(n_outs * NL, B)
 
 
+# The big unrolled permutation bodies need more scoped VMEM than Mosaic's
+# conservative 16 MB default (t=5 at B=256 wants 19.2 MB of stack); v5e
+# has 128 MB of VMEM per core.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _params():
+    if pf.interpret_mode():
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
 @functools.partial(jax.jit, static_argnames=("t", "n_outs"))
 def _permute(state, t: int, n_outs: int):
     c = _consts(t)
@@ -372,6 +384,7 @@ def _permute(state, t: int, n_outs: int):
         out_shape=jax.ShapeDtypeStruct((n_outs * NL, B), jnp.uint32),
         in_specs=[vmem] * (1 + len(_CONST_KEYS)),
         out_specs=vmem,
+        compiler_params=_params(),
         interpret=pf.interpret_mode(),
     )(state, *[c[k] for k in _CONST_KEYS])
 
@@ -426,6 +439,7 @@ def smt_climb(siblings_flip, lrbits_flip, top_flip, inew_flip, key, value):
         out_shape=jax.ShapeDtypeStruct((NL, B), jnp.uint32),
         in_specs=[vmem] * (5 + len(_CONST_KEYS)),
         out_specs=vmem,
+        compiler_params=_params(),
         interpret=pf.interpret_mode(),
     )(jnp.asarray(siblings_flip, jnp.uint32),
       jnp.asarray(lrbits_flip, jnp.uint32),

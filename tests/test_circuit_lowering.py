@@ -201,3 +201,31 @@ def test_register_identity_flagship_lowering():
     assert outs["smt_ok"].ints() == [1, 1]
     ok, _ = check_batched(b.cs, b.witness_matrix())
     assert np.asarray(ok).all()
+
+
+@pytest.mark.slow
+def test_groth16_proves_real_gadget_circuit():
+    """Groth16 setup/prove/verify on a lowered REAL gadget circuit (the
+    BabyJubJub identity-key derivation + Poseidon hash of
+    identity.circom:112-120) — the snarkjs pipeline analog running on a
+    circuit from this framework's own lowering, not a demo system.
+    The full RegisterIdentityLight/flagship proof runs in
+    tools/prove_light_tpu.py (TPU-scale setup)."""
+    from passport_zk_circuits_tpu.groth16 import protocol as g16
+    rng = random.Random(9)
+    sks = [rng.randrange(1, pref.P) for _ in range(2)]
+    b = Builder(2)
+    sk = b.input(sks)
+    px, py = cbjj.base8_mul(b, sk)
+    pk_hash = cpose.poseidon(b, [px, py])
+    pub = b.finalize([pk_hash])
+    for i, s in enumerate(sks):
+        x, y = bref.base8_mul(s % (1 << 254))
+        assert pub[0][i] == pref.poseidon([x, y])
+
+    pk, vk = g16.setup(b.cs, n_public=1, seed=3)
+    proofs = g16.prove(pk, b.cs, b.witness_matrix(), seed=4)
+    for lane in range(2):
+        assert g16.verify(vk, proofs[lane], [pub[0][lane]])
+        assert not g16.verify(vk, proofs[lane],
+                              [(pub[0][lane] + 1) % pref.P])

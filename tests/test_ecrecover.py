@@ -1,5 +1,6 @@
 """ecrecover vs a host sign-then-recover round trip."""
 import hashlib
+import pytest
 import random
 
 import jax
@@ -12,6 +13,9 @@ from passport_zk_circuits_tpu.utils import ecdsa_ref as ref
 
 rng = random.Random(1717)
 
+
+
+pytestmark = pytest.mark.slow  # sweep/e2e tier (SURVEY §4 budget)
 
 def test_recover_matches_signer():
     cv = CURVES["secp256k1"]

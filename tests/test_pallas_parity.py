@@ -111,3 +111,20 @@ def test_pallas_poseidon_routing_through_ops():
     finally:
         os.environ["PZK_PALLAS"] = "1"
     assert got == want
+
+
+def test_pallas_babyjubjub_ladder_matches_oracle():
+    from passport_zk_circuits_tpu.ops import babyjubjub as bjj
+    from passport_zk_circuits_tpu.utils import babyjubjub_ref as bref
+    sks = [0, 1, 7, rng.randrange(fr.P)]
+    x, y = bjj.base8_mul(fr.batch_to_limbs(sks), (len(sks),))
+    gx, gy = _ints(x), _ints(y)
+    for i, s in enumerate(sks):
+        wx, wy = bref.base8_mul(s % (1 << 254))
+        assert (gx[i], gy[i]) == (wx, wy)
+    os.environ["PZK_PALLAS"] = "0"
+    try:
+        x2, y2 = bjj.base8_mul(fr.batch_to_limbs(sks), (len(sks),))
+    finally:
+        os.environ["PZK_PALLAS"] = "1"
+    assert _ints(x2) == gx and _ints(y2) == gy

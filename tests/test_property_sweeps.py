@@ -14,6 +14,9 @@ from passport_zk_circuits_tpu.ops import field as fr
 rng = random.Random(20260818)
 
 
+
+pytestmark = pytest.mark.slow  # sweep/e2e tier (SURVEY §4 budget)
+
 @pytest.mark.parametrize("n,m", [(16, 17), (16, 16), (17, 16), (8, 5),
                                  (32, 33), (1, 1)])
 def test_poly_mul_static_random(n, m):

@@ -6,6 +6,7 @@ personalNumberHash Poseidon outputs and the documentType reveal gated by
 selector bits 16/17 (queryIdentityTD1.circom:89-105), 190-bit dg1 chunks
 for the commitment (:203-214)."""
 import random
+import pytest
 
 import jax
 import numpy as np
@@ -20,6 +21,9 @@ from test_query_identity import _enc, _field_be, _rev
 
 rng = random.Random(777)
 
+
+
+pytestmark = pytest.mark.slow  # sweep/e2e tier (SURVEY §4 budget)
 
 def make_dg1_td1(rng, birth=b"900115", expiry=b"301231",
                  citizenship=b"UKR", doc_number=b"D23145890",

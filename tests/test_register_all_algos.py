@@ -20,6 +20,9 @@ from passport_zk_circuits_tpu.ops import field as fr
 rng = random.Random(977)
 
 
+
+pytestmark = pytest.mark.slow  # sweep/e2e tier (SURVEY §4 budget)
+
 def _params(sig, dg_hash=256, ec_blocks=4, ec_shift=600, dg1_shift=248):
     return CircuitParams(signature_type=sig, dg_hash_type=dg_hash,
                          document_type=3, ec_block_number=ec_blocks,

@@ -14,6 +14,9 @@ from passport_zk_circuits_tpu.ops import field as fr
 rng = random.Random(4242)
 
 
+
+pytestmark = pytest.mark.slow  # sweep/e2e tier (SURVEY §4 budget)
+
 def _params(sig, dg_hash, ec_blocks=4, aa=0):
     return CircuitParams(signature_type=sig, dg_hash_type=dg_hash,
                          document_type=3, ec_block_number=ec_blocks,

@@ -10,6 +10,7 @@ import random
 
 import numpy as np
 import jax
+import pytest
 
 from passport_zk_circuits_tpu.models.params import CircuitParams
 from passport_zk_circuits_tpu.models import register_identity as ri
@@ -26,6 +27,7 @@ def _enc(s: bytes) -> int:
     return int.from_bytes(s, "big")
 
 
+@pytest.mark.slow
 def test_register_then_query_td3():
     p = CircuitParams.from_name(
         "registerIdentity_1_256_3_4_600_248_1_1496_3_256")

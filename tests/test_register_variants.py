@@ -1,5 +1,6 @@
 """RegisterIdentity variants: ECDSA signer, TD1 documents, Light."""
 import random
+import pytest
 
 import jax
 import numpy as np
@@ -23,6 +24,9 @@ TD1_RSA = CircuitParams(signature_type=1, dg_hash_type=256, document_type=1,
                         aa_signature_algo=0, dg15_shift=0,
                         dg15_block_number=1, aa_shift=0)
 
+
+
+pytestmark = pytest.mark.slow  # sweep/e2e tier (SURVEY §4 budget)
 
 def _run(p, B=2):
     signer = None

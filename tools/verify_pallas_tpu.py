@@ -96,19 +96,33 @@ def main() -> int:
         fr.batch_to_limbs(roots), fr.batch_to_limbs(keys),
         fr.batch_to_limbs(vals), sibs))
     assert np.asarray(ok).all(), "smt 1-leaf"
-    # two-leaf tree: sibling at the level chosen by the first key bit
+    # two-leaf tree: the sibling sits at index 0 (root-most, iden3 proof
+    # ordering) and the first key bit picks the side
     k0, v0 = keys[0], vals[0]
     other = pref.poseidon([7, 7, 1])
     leaf = pref.poseidon([k0, v0, 1])
     root2 = (pref.poseidon([leaf, other]) if k0 & 1 == 0
              else pref.poseidon([other, leaf]))
     sibs2 = np.zeros((16, 80, B), np.uint32)
-    sibs2[:, 79, :] = fr.to_limbs(other)[:, None]
+    sibs2[:, 0, :] = fr.to_limbs(other)[:, None]
     ok2, _ = jax.block_until_ready(jax.jit(smt.verify)(
         fr.batch_to_limbs([root2] * B), fr.batch_to_limbs([k0] * B),
         fr.batch_to_limbs([v0] * B), sibs2))
     assert np.asarray(ok2).all(), "smt 2-leaf"
     print(f"ppk.smt_climb (via smt.verify): OK ({time.time() - t0:.1f}s)",
+          flush=True)
+
+    # 5. fused BabyJubJub ladder vs host oracle (incl. scalar 0/1 edges)
+    t0 = time.time()
+    from passport_zk_circuits_tpu.ops import babyjubjub as bjj
+    from passport_zk_circuits_tpu.utils import babyjubjub_ref as bref
+    sks = [0, 1] + [rng.randrange(fr.P) for _ in range(B - 2)]
+    px, py = bjj.base8_mul(fr.batch_to_limbs(sks), (B,))
+    gx, gy = ints(px), ints(py)
+    for i, s in enumerate(sks):
+        wx, wy = bref.base8_mul(s % (1 << 254))
+        assert (gx[i], gy[i]) == (wx, wy), f"bjj ladder lane {i}"
+    print(f"pbjj.ladder (via base8_mul): OK ({time.time() - t0:.1f}s)",
           flush=True)
 
     with open(MARKER, "w") as f:
