@@ -31,11 +31,16 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
-
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+# This jax build ignores the JAX_COMPILATION_CACHE_DIR env var (config
+# stays None); only the explicit config update enables the persistent
+# cache — without it every bench run pays the full ~12 min of XLA+Mosaic
+# compiles instead of ~1 min warm.
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 WASM_BASELINE_WPS = 0.2  # documented estimate, see BASELINE.md
 

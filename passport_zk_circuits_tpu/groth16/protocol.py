@@ -314,10 +314,24 @@ def _h_program(cs: ConstraintSystem):
     unshift_np = _coset_scale(m, True)[:, :, None]
     zh_inv = pow((pow(_COSET_G, m, fr.P) - 1) % fr.P, fr.P - 2, fr.P)
 
+    # row-chunked Az/Bz/Cz: the flagship lowering is ~515k constraints /
+    # ~2.2M nnz, whose one-shot product tensors would not fit HBM
+    _CHUNK = 131072
+
     @jax.jit
     def fn(witness):
         def evals(rows, cols, coeffs):
-            e = _sparse_matvec(rows, cols, coeffs, witness, n_con)
+            if n_con <= _CHUNK:
+                e = _sparse_matvec(rows, cols, coeffs, witness, n_con)
+            else:
+                parts = []
+                for lo in range(0, n_con, _CHUNK):
+                    hi = min(n_con, lo + _CHUNK)
+                    msk = (rows >= lo) & (rows < hi)
+                    parts.append(_sparse_matvec(
+                        rows[msk] - lo, cols[msk], coeffs[msk], witness,
+                        hi - lo))
+                e = jnp.concatenate(parts, axis=0)
             e = jnp.moveaxis(e, 0, 1)                   # (16, n, *B)
             pad = [(0, 0)] * e.ndim
             pad[1] = (0, m - n_con)

@@ -229,3 +229,103 @@ def test_groth16_proves_real_gadget_circuit():
         assert g16.verify(vk, proofs[lane], [pub[0][lane]])
         assert not g16.verify(vk, proofs[lane],
                               [(pub[0][lane] + 1) % pref.P])
+
+
+def test_query_identity_lowering():
+    """QueryIdentity TD3 lowered to R1CS: disclosure outputs bit-exact,
+    all enforced predicates (bounds, dates, identity state, citizenship)
+    satisfied, and a corrupted witness rejected
+    (queryIdentity.circom:37-229 as hard constraints)."""
+    from passport_zk_circuits_tpu.circuit import query_identity as cqi
+    rng2 = random.Random(555)
+
+    def make_dg1():
+        dg1 = bytearray(93)
+        for i in range(93):
+            dg1[i] = 0x41 + rng2.randrange(26)
+        dg1[7:10] = b"UKR"
+        dg1[62:68] = b"900115"
+        dg1[70:76] = b"301231"
+        dg1[69] = ord("F")
+        return bytes(dg1)
+
+    B = 2
+    dg1s = [make_dg1() for _ in range(B)]
+    sks = [rng2.randrange(1, pref.P) for _ in range(B)]
+    pkp = [rng2.randrange(pref.P) for _ in range(B)]
+    ts = [1716482295, 1716482299]
+    idc = [1, 2]
+    roots = []
+    for dg1, sk, pk, t, c in zip(dg1s, sks, pkp, ts, idc):
+        bits = [(byte >> (7 - i)) & 1 for byte in dg1 for i in range(8)]
+        chunks = [sum(bits[j * 186 + k] << k for k in range(186))
+                  for j in range(4)]
+        commit = pref.poseidon(chunks + [pref.poseidon([sk])])
+        x, y = bref.base8_mul(sk % (1 << 254))
+        key = pref.poseidon([pk, pref.poseidon([x, y])])
+        value = pref.poseidon([commit, c, t])
+        roots.append(pref.poseidon([key, value, 1]))
+
+    enc = lambda s: int.from_bytes(s, "big")  # noqa: E731
+    inp = {
+        "dg1": dg1s, "sk": sks, "pk_passport_hash": pkp,
+        "event_id": [5, 6], "event_data": [7, 8], "root": roots,
+        "siblings": [[0] * B for _ in range(80)],
+        "selector": [(1 << 16) - 1] * B,
+        "current_date": [enc(b"250817")] * B,
+        "timestamp": ts, "timestamp_lower": [ts[0]] * B,
+        "timestamp_upper": [ts[1] + 10] * B,
+        "identity_counter": idc, "identity_counter_lower": [0] * B,
+        "identity_counter_upper": [5] * B,
+        "birth_date_lower": [enc(b"800101")] * B,
+        "birth_date_upper": [enc(b"991231")] * B,
+        "expiration_date_lower": [enc(b"250101")] * B,
+        "expiration_date_upper": [enc(b"501231")] * B,
+        "citizenship_mask": [0] * B,
+    }
+    b = Builder(B)
+    outs = cqi.build(b, inp)
+    for j in range(B):
+        assert outs["nullifier"].ints()[j] == pref.poseidon(
+            [sks[j], pref.poseidon([sks[j]]), [5, 6][j]])
+        assert outs["citizenship"].ints()[j] == enc(b"UKR")
+    w = b.witness_matrix()
+    ok, _ = check_batched(b.cs, w)
+    assert np.asarray(ok).all()
+    # corrupt the identity-state root wire in lane 0 -> rejected
+    import passport_zk_circuits_tpu.ops.field as frf
+    root_wire = next(i for i, lbl in b.cs.labels.items() if lbl == "q_root")
+    w_bad = w.copy()
+    w_bad[root_wire, :, 0] = frf.to_limbs((roots[0] + 1) % pref.P)
+    ok_bad, _ = check_batched(b.cs, w_bad)
+    assert not np.asarray(ok_bad)[0] and np.asarray(ok_bad)[1]
+
+
+@pytest.mark.slow
+def test_light_circuit_snarkjs_artifacts_roundtrip():
+    """The R1CS-lowered RegisterIdentityLight exports to the snarkjs
+    binfile formats (.r1cs / .wtns) and round-trips through our importers
+    with the witness still satisfying the re-imported system — connecting
+    the real circuits to the toolchain artifacts the reference's shell
+    pipeline produces (circom --r1cs / gen-witness.sh:24)."""
+    from passport_zk_circuits_tpu.circuit import register_light
+    from passport_zk_circuits_tpu.groth16.export import (
+        export_r1cs, import_r1cs, export_wtns, import_wtns)
+    rng = random.Random(4)
+    dg1s = [bytes(rng.randrange(256) for _ in range(93))]
+    sks = [rng.randrange(1, pref.P)]
+    b, outs = register_light.build(dg1s, sks)
+    b.finalize([outs["dg1_commitment"], outs["pk_identity_hash"],
+                outs["dg1_hash"]])
+
+    blob = export_r1cs(b.cs, n_public=3, n_outputs=3)
+    cs2 = import_r1cs(blob)
+    assert cs2.n_vars == b.cs.n_vars
+    assert cs2.n_constraints == b.cs.n_constraints
+
+    wvals = b.witness_ints(0)
+    wblob = export_wtns(wvals)
+    assert import_wtns(wblob) == [v % pref.P for v in wvals]
+
+    ok, _ = check_batched(cs2, b.witness_matrix())
+    assert np.asarray(ok).all()

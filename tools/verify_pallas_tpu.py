@@ -32,6 +32,15 @@ import random
 import numpy as np
 import jax
 
+# this jax build ignores the JAX_COMPILATION_CACHE_DIR env var; the
+# explicit config update is required for the persistent compile cache
+import jax as _jax_cfg
+_jax_cfg.config.update("jax_compilation_cache_dir",
+                       __import__("os").environ.get(
+                           "JAX_COMPILATION_CACHE_DIR",
+                           "/root/repo/.jax_cache"))
+_jax_cfg.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def main() -> int:
     if os.path.exists(MARKER):
