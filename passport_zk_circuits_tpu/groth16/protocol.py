@@ -301,47 +301,27 @@ def _coset_scale(m: int, inverse: bool) -> np.ndarray:
     return fr.batch_to_limbs([pow(g, i, fr.P) for i in range(m)])  # (16, m)
 
 
-def _h_program(cs: ConstraintSystem):
-    """Jitted closure computing h coefficients for this system (cached on
-    the ConstraintSystem instance; persistent XLA cache across processes)."""
-    fn = getattr(cs, "_g16_h_fn", None)
-    if fn is not None:
-        return fn
-    (ra, ca, va), (rb, cb, vb), (rc, cc, vc) = cs.matrices()
-    m = 1 << max(1, (cs.n_constraints - 1).bit_length())
-    n_con = cs.n_constraints
-    shift_np = _coset_scale(m, False)[:, :, None]
-    unshift_np = _coset_scale(m, True)[:, :, None]
+# Row-chunk size for Az/Bz/Cz evaluation: the flagship lowering is ~515k
+# constraints / ~2.2M nnz, whose one-shot product tensors would not fit
+# HBM. Chunks are bucket-padded so ONE compiled matvec serves every chunk,
+# and all matrix data travels as runtime arguments — baking 2.2M triplets
+# into the HLO as constants exceeds the remote compiler's request limit
+# (HTTP 413 on the tunnel) and bloats the cache.
+_H_CHUNK = 131072
+
+
+@functools.lru_cache(maxsize=8)
+def _matvec_fn(n_rows: int):
+    return jax.jit(lambda rows, cols, coeffs, w: _sparse_matvec(
+        rows, cols, coeffs, w, n_rows))
+
+
+@functools.lru_cache(maxsize=8)
+def _h_from_evals_fn(m: int):
     zh_inv = pow((pow(_COSET_G, m, fr.P) - 1) % fr.P, fr.P - 2, fr.P)
 
-    # row-chunked Az/Bz/Cz: the flagship lowering is ~515k constraints /
-    # ~2.2M nnz, whose one-shot product tensors would not fit HBM
-    _CHUNK = 131072
-
     @jax.jit
-    def fn(witness):
-        def evals(rows, cols, coeffs):
-            if n_con <= _CHUNK:
-                e = _sparse_matvec(rows, cols, coeffs, witness, n_con)
-            else:
-                parts = []
-                for lo in range(0, n_con, _CHUNK):
-                    hi = min(n_con, lo + _CHUNK)
-                    msk = (rows >= lo) & (rows < hi)
-                    parts.append(_sparse_matvec(
-                        rows[msk] - lo, cols[msk], coeffs[msk], witness,
-                        hi - lo))
-                e = jnp.concatenate(parts, axis=0)
-            e = jnp.moveaxis(e, 0, 1)                   # (16, n, *B)
-            pad = [(0, 0)] * e.ndim
-            pad[1] = (0, m - n_con)
-            return jnp.pad(e, pad)
-
-        az, bz, cz = (evals(ra, ca, va), evals(rb, cb, vb),
-                      evals(rc, cc, vc))
-        shift = jnp.asarray(shift_np)
-        unshift = jnp.asarray(unshift_np)
-
+    def fn(az, bz, cz, shift, unshift):
         def to_coset_evals(e):
             coeffs = _ntt.intt(e)
             return _ntt.ntt(fr.mul(coeffs,
@@ -353,15 +333,59 @@ def _h_program(cs: ConstraintSystem):
         h = fr.mul(_ntt.intt(h_ev), jnp.broadcast_to(unshift, h_ev.shape))
         return h[:, :m - 1]
 
-    cs._g16_h_fn = fn
     return fn
+
+
+def _chunked_triplets(cs: ConstraintSystem):
+    """Host-side prep (cached on the instance): per-matrix lists of
+    bucket-padded (rows, cols, coeffs) chunk arrays. Padding entries have
+    coeff 0 (they contribute nothing to any row)."""
+    prep = getattr(cs, "_g16_h_prep", None)
+    if prep is not None:
+        return prep
+    n_con = cs.n_constraints
+    out = []
+    for rows, cols, coeffs in cs.matrices():
+        chunks = []
+        for lo in range(0, n_con, _H_CHUNK):
+            hi = min(n_con, lo + _H_CHUNK)
+            msk = (rows >= lo) & (rows < hi)
+            r, c, v = rows[msk] - lo, cols[msk], coeffs[msk]
+            bucket = max(8, 1 << (max(1, len(r)) - 1).bit_length())
+            pad = bucket - len(r)
+            r = np.pad(r, (0, pad))
+            c = np.pad(c, (0, pad))
+            v = np.pad(v, ((0, pad), (0, 0)))
+            chunks.append((r, c, v))
+        out.append(chunks)
+    cs._g16_h_prep = out
+    return out
 
 
 def h_coefficients(cs: ConstraintSystem, witness):
     """Device computation of h(X) = (Az*Bz - Cz)/Z coefficients.
 
     witness: (n_vars, 16, B) Fr limbs. Returns (16, m-1, B)."""
-    return _h_program(cs)(witness)
+    n_con = cs.n_constraints
+    m = 1 << max(1, (n_con - 1).bit_length())
+    witness = jnp.asarray(witness)
+    bshape = witness.shape[2:]
+    evs = []
+    for chunks in _chunked_triplets(cs):
+        parts = []
+        for lo, (r, c, v) in zip(range(0, n_con, _H_CHUNK), chunks):
+            n_rows = min(n_con, lo + _H_CHUNK) - lo
+            e = _matvec_fn(_H_CHUNK if n_con > _H_CHUNK else n_con)(
+                jnp.asarray(r), jnp.asarray(c), jnp.asarray(v), witness)
+            parts.append(e[:n_rows])
+        e = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        e = jnp.moveaxis(e, 0, 1)                       # (16, n_con, *B)
+        pad = [(0, 0)] * e.ndim
+        pad[1] = (0, m - n_con)
+        evs.append(jnp.pad(e, pad))
+    shift = jnp.asarray(_coset_scale(m, False)[:, :, None])
+    unshift = jnp.asarray(_coset_scale(m, True)[:, :, None])
+    return _h_from_evals_fn(m)(*evs, shift, unshift)
 
 
 _msm_jit = jax.jit(_msm.msm, static_argnames=("curve",))

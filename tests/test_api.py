@@ -1,11 +1,15 @@
 """Top-level API: ingest -> compile -> generate_witness."""
 import random
+import pytest
 
 import numpy as np
 
 from passport_zk_circuits_tpu import api
 from passport_zk_circuits_tpu.ingest import passport
 from passport_zk_circuits_tpu.utils.rsa_keygen import gen_rsa_key
+
+
+pytestmark = pytest.mark.slow  # big-graph compile tier (SURVEY §4 budget)
 
 rng = random.Random(2718)
 

@@ -63,6 +63,7 @@ def test_poseidon_gadget_matches_oracle():
     _check(b)
 
 
+@pytest.mark.slow
 def test_babyjubjub_gadget_matches_oracle():
     rng = random.Random(1)
     sks = [rng.randrange(1, pref.P) for _ in range(2)]
@@ -75,6 +76,7 @@ def test_babyjubjub_gadget_matches_oracle():
     _check(b)
 
 
+@pytest.mark.slow
 def test_sha256_gadget_matches_hashlib():
     from passport_zk_circuits_tpu.ingest import native
     rng = random.Random(2)
@@ -131,6 +133,7 @@ def test_register_light_lowering_e2e():
     _check(b)
 
 
+@pytest.mark.slow
 def test_bignum_gadgets_match_ints():
     from passport_zk_circuits_tpu.circuit import bignum as cbn
     rng = random.Random(3)
@@ -155,6 +158,7 @@ def test_bignum_gadgets_match_ints():
     _check(b)
 
 
+@pytest.mark.slow
 def test_smt_gadget_matches_witness_ops():
     """Constraint SMT verdict == ops/smt.verify on a 1-leaf tree + a
     negative case (wrong root)."""

@@ -1,11 +1,15 @@
 """Multi-device scale-out path on the virtual 8-device CPU mesh."""
 import numpy as np
+import pytest
 
 import jax
 
 from passport_zk_circuits_tpu.parallel import distributed as dist
 from passport_zk_circuits_tpu.parallel import mesh as pmesh
 
+
+
+pytestmark = pytest.mark.slow  # big-graph compile tier (SURVEY §4 budget)
 
 def test_hybrid_mesh_single_process_fallback():
     mesh = dist.hybrid_mesh()

@@ -13,6 +13,9 @@ from passport_zk_circuits_tpu.ops import ecdsa
 from passport_zk_circuits_tpu.ops import bitops
 from passport_zk_circuits_tpu.utils import ecdsa_ref as ref
 
+
+pytestmark = pytest.mark.slow  # big-graph compile tier (SURVEY §4 budget)
+
 rng = random.Random(64)
 
 

@@ -4,6 +4,7 @@ Capability twin of the reference's snarkjs pipeline
 (circuits/scripts/export-keys.sh / prove.sh / verify.sh). The pairing itself
 is self-checked (bilinearity / non-degeneracy) rather than trusted."""
 import random
+import pytest
 
 import numpy as np
 
@@ -11,6 +12,9 @@ from passport_zk_circuits_tpu.groth16 import pairing as pr
 from passport_zk_circuits_tpu import groth16 as g16
 from passport_zk_circuits_tpu.r1cs import system as r1
 from passport_zk_circuits_tpu.ops import field as fr
+
+
+pytestmark = pytest.mark.slow  # big-graph compile tier (SURVEY §4 budget)
 
 rng = random.Random(1234)
 

@@ -1,11 +1,15 @@
 """Keccak-256 / SHA3-256 vs hashlib and canonical vectors."""
 import hashlib
+import pytest
 import random
 
 import jax
 import numpy as np
 
 from passport_zk_circuits_tpu.ops import keccak
+
+
+pytestmark = pytest.mark.slow  # big-graph compile tier (SURVEY §4 budget)
 
 rng = random.Random(3)
 

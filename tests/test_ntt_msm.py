@@ -1,5 +1,6 @@
 """NTT over Fr and MSM over BN254 G1 vs naive oracles."""
 import random
+import pytest
 
 import jax
 import numpy as np
@@ -10,6 +11,9 @@ from passport_zk_circuits_tpu.ops import ntt
 from passport_zk_circuits_tpu.ops import msm
 from passport_zk_circuits_tpu.ops.curves import CURVES
 from passport_zk_circuits_tpu.utils import ecdsa_ref as ecref
+
+
+pytestmark = pytest.mark.slow  # big-graph compile tier (SURVEY §4 budget)
 
 rng = random.Random(808)
 

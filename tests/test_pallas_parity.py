@@ -70,6 +70,7 @@ def test_pallas_add_sub_building_blocks():
         [(x - y) % fr.P for x, y in zip(xs, ys)]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_in", [1, 2, 3, 4, 5])
 def test_pallas_poseidon_matches_oracle(n_in):
     cols = [[rng.randrange(fr.P) for _ in range(B)] for _ in range(n_in)]
@@ -77,6 +78,7 @@ def test_pallas_poseidon_matches_oracle(n_in):
     assert got == [pref.poseidon([c[i] for c in cols]) for i in range(B)]
 
 
+@pytest.mark.slow
 def test_pallas_smt_climb_matches_xla():
     from passport_zk_circuits_tpu.ops import smt
     keys = [rng.randrange(fr.P) for _ in range(B)]
@@ -98,6 +100,7 @@ def test_pallas_smt_climb_matches_xla():
                                   np.asarray(computed_x))
 
 
+@pytest.mark.slow
 def test_pallas_poseidon_routing_through_ops():
     """ops/poseidon routes to the fused kernel when use_pallas() — outputs
     must stay bit-identical either way."""
@@ -113,6 +116,7 @@ def test_pallas_poseidon_routing_through_ops():
     assert got == want
 
 
+@pytest.mark.slow
 def test_pallas_babyjubjub_ladder_matches_oracle():
     from passport_zk_circuits_tpu.ops import babyjubjub as bjj
     from passport_zk_circuits_tpu.utils import babyjubjub_ref as bref

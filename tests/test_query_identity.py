@@ -1,5 +1,6 @@
 """QueryIdentity selective disclosure vs Python oracles."""
 import random
+import pytest
 
 import jax
 import numpy as np
@@ -10,6 +11,9 @@ from passport_zk_circuits_tpu.ops import sha2
 from passport_zk_circuits_tpu.utils import poseidon_ref as pref
 from passport_zk_circuits_tpu.utils import babyjubjub_ref as bref
 from passport_zk_circuits_tpu.utils.constants.countries import COUNTRIES
+
+
+pytestmark = pytest.mark.slow  # big-graph compile tier (SURVEY §4 budget)
 
 rng = random.Random(555)
 

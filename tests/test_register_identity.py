@@ -15,6 +15,9 @@ from passport_zk_circuits_tpu.ingest import synthetic
 from passport_zk_circuits_tpu.ingest.builder import build_register_inputs
 from passport_zk_circuits_tpu.ops import field as fr
 
+
+pytestmark = pytest.mark.slow  # big-graph compile tier (SURVEY §4 budget)
+
 rng = random.Random(31337)
 
 FLAGSHIP = CircuitParams.from_name(

@@ -11,6 +11,9 @@ from passport_zk_circuits_tpu.ops import rsapss
 from passport_zk_circuits_tpu.ops import sha2
 from passport_zk_circuits_tpu.utils.rsa_keygen import gen_rsa_key
 
+
+pytestmark = pytest.mark.slow  # big-graph compile tier (SURVEY §4 budget)
+
 rng = random.Random(404)
 _KEYS = {}
 

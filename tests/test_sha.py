@@ -8,6 +8,9 @@ import pytest
 
 from passport_zk_circuits_tpu.ops import sha2
 
+
+pytestmark = pytest.mark.slow  # big-graph compile tier (SURVEY §4 budget)
+
 rng = random.Random(7)
 
 
