@@ -88,9 +88,21 @@ def verify_pkcs1v15(signature, pubkey, mu, digest_words, hash_len: int,
     Barrett constant for the pubkey modulus (host-precomputed by ingestion);
     digest_words: big-endian hash words. Returns bool (*B,).
     """
-    em = bn.mod_pow(signature, exp, pubkey, mu)
+    em = _mod_pow(signature, exp, pubkey, mu)
     want = expected_em_limbs(digest_words, hash_len, key_bits)
     return bn.eq(em, want)
+
+
+def _mod_pow(signature, exp, pubkey, mu):
+    """Verification modexp: fused Pallas ladder on verified TPU (ONE
+    kernel for the whole square-and-multiply chain, ops/pallas_rsa),
+    XLA blocked-conv path otherwise. exp values outside the verified set
+    (3, 65537) stay on XLA."""
+    from . import pallas_field as pf
+    if exp in (3, 65537) and pf.use_pallas() and signature.ndim == 2:
+        from . import pallas_rsa
+        return pallas_rsa.pow_mod(signature, pubkey, mu, exp)
+    return bn.mod_pow(signature, exp, pubkey, mu)
 
 
 # -- host-side helpers for fixtures/tests -----------------------------------

@@ -53,7 +53,8 @@ def verify_pss(signature, pubkey, mu, digest_words, hash_len: int,
                key_bits: int, salt_len: int, exp: int = 65537):
     """Batched VerifyRsaPssSig. digest_words = mHash (the SA digest).
     Returns bool (*B,)."""
-    em = bn.mod_pow(signature, exp, pubkey, mu)
+    from .rsa import _mod_pow
+    em = _mod_pow(signature, exp, pubkey, mu)
     n_bytes = key_bits // 8
     h_bytes = hash_len // 8
     bshape = em.shape[1:]

@@ -132,3 +132,17 @@ def test_pallas_babyjubjub_ladder_matches_oracle():
     finally:
         os.environ["PZK_PALLAS"] = "1"
     assert _ints(x2) == gx and _ints(y2) == gy
+
+
+def test_pallas_rsa_pow_matches_ints():
+    from passport_zk_circuits_tpu.ops import pallas_rsa
+    from passport_zk_circuits_tpu.ops import bignum as bn
+    k = 16                        # 256-bit keeps interpret mode fast
+    for exp in (3, 65537, 37187):
+        mods = [rng.getrandbits(255) | (1 << 255) | 1 for _ in range(2)]
+        sigs = [rng.randrange(m) for m in mods]
+        got = bn.limbs_to_ints_batch(np.asarray(jax.block_until_ready(
+            pallas_rsa.pow_mod(bn.ints_to_limbs_batch(sigs, k),
+                               bn.ints_to_limbs_batch(mods, k),
+                               bn.barrett_mu_batch(mods, k), exp))))
+        assert got == [pow(s, exp, m) for s, m in zip(sigs, mods)], exp

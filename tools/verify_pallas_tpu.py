@@ -134,6 +134,24 @@ def main() -> int:
     print(f"pbjj.ladder (via base8_mul): OK ({time.time() - t0:.1f}s)",
           flush=True)
 
+    # 6. fused RSA modexp ladder vs pow() (RSA-2048, e = 65537 + e = 3)
+    t0 = time.time()
+    from passport_zk_circuits_tpu.ops import pallas_rsa
+    from passport_zk_circuits_tpu.ops import bignum as bn2
+    k = 128
+    mods = [rng.getrandbits(2047) | (1 << 2047) | 1 for _ in range(B)]
+    sigs = [rng.randrange(m) for m in mods]
+    nl = bn2.ints_to_limbs_batch(mods, k)
+    mul_ = bn2.barrett_mu_batch(mods, k)
+    sl = bn2.ints_to_limbs_batch(sigs, k)
+    for exp in (65537, 3):
+        got = bn2.limbs_to_ints_batch(np.asarray(jax.block_until_ready(
+            pallas_rsa.pow_mod(sl, nl, mul_, exp))))
+        assert got == [pow(s, exp, m) for s, m in zip(sigs, mods)], \
+            f"rsa pow exp={exp}"
+    print(f"prsa.pow_mod (2048-bit, e=65537/3): OK "
+          f"({time.time() - t0:.1f}s)", flush=True)
+
     with open(MARKER, "w") as f:
         f.write(f"verified {time.time()} on {jax.devices()[0].device_kind} "
                 f"by tools/verify_pallas_tpu.py\n")
