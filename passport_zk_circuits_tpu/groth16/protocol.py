@@ -391,18 +391,48 @@ def h_coefficients(cs: ConstraintSystem, witness):
 _msm_jit = jax.jit(_msm.msm, static_argnames=("curve",))
 
 
+_MSM_CHUNK = 65536
+
+
+def _g1_add_int(p, q):
+    """Host affine addition over plain ints (None = infinity)."""
+    if p is None:
+        return q
+    if q is None:
+        return p
+    x1, y1 = p
+    x2, y2 = q
+    if x1 == x2:
+        if (y1 + y2) % _Q == 0:
+            return None
+        lam = 3 * x1 * x1 % _Q * pow(2 * y1, _Q - 2, _Q) % _Q
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, _Q - 2, _Q) % _Q
+    x3 = (lam * lam - x1 - x2) % _Q
+    return (x3, (lam * (x1 - x3) - y1) % _Q)
+
+
 def _device_msm(query: np.ndarray, inf_mask, scalars: np.ndarray):
     """MSM of a G1 query table against one lane's scalars; host ints out.
 
     query: (2, k, N) limbs, scalars: (16, N) Fr limbs. N is padded to a
-    power-of-two bucket (zero scalars -> infinity lanes) so every query
-    size in a proof reuses ONE compiled MSM executable."""
+    power-of-two bucket (zero scalars -> infinity lanes) so query sizes
+    reuse compiled MSM executables; widths past _MSM_CHUNK run as chunked
+    partial MSMs combined host-side (one huge MSM program OOMs the
+    compile helper at the flagship's 2^19 lanes)."""
     n = query.shape[2]
     if n == 0:
         return None
     s = scalars.copy()
     if inf_mask is not None and inf_mask.any():
         s[:, inf_mask] = 0
+    if n > _MSM_CHUNK:
+        acc = None
+        for lo in range(0, n, _MSM_CHUNK):
+            part = _device_msm(query[:, :, lo:lo + _MSM_CHUNK], None,
+                               s[:, lo:lo + _MSM_CHUNK])
+            acc = _g1_add_int(acc, part)
+        return acc
     bucket = max(8, 1 << (n - 1).bit_length())
     if bucket != n:
         query = np.pad(query, ((0, 0), (0, 0), (0, bucket - n)))
