@@ -70,7 +70,7 @@ def _pow_kernel(exp, k, sig_ref, n_ref, mu_ref, out_ref):
             acc = _mod_mul_dyn(acc, acc, n, mu, k)
             if bit == "1":
                 acc = _mod_mul_dyn(acc, sig, n, mu, k)
-    elif exp & (exp - 1) == 1:
+    elif (exp - 1) & (exp - 2) == 0:
         # 2^m + 1 (e = 65537): m squarings in a fori_loop (ONE square
         # body in the Mosaic kernel) + one multiply
         acc = jax.lax.fori_loop(
@@ -79,7 +79,9 @@ def _pow_kernel(exp, k, sig_ref, n_ref, mu_ref, out_ref):
         acc = _mod_mul_dyn(acc, sig, n, mu, k)
     else:
         # general fixed exponent (e = 37187): square always, multiply
-        # under a per-step select — two bodies in one fori_loop
+        # under a per-step select — two bodies in one fori_loop.
+        # NOTE: dynamic_slice on a value is interpret-mode-only (Mosaic
+        # lacks it); ops/rsa only routes (3, 65537) to hardware.
         B = sig.shape[1]
         bit_rows = jnp.concatenate(
             [jnp.full((1, B), int(c), jnp.uint32) for c in bits[1:]],
