@@ -132,8 +132,14 @@ def _sha256_block(state, block):
 
 
 def _sha2_32(msg, iv, out_words):
-    """Shared SHA-224/256 driver. msg: (16*nb, *B) uint32."""
+    """Shared SHA-224/256 driver. msg: (16*nb, *B) uint32.
+    On verified TPU all blocks run as ONE fused Pallas kernel."""
     msg = jnp.asarray(msg, dtype=_u32)
+    from . import pallas_field as pf
+    if msg.ndim == 2 and pf.use_pallas():
+        from . import pallas_sha2
+        return pallas_sha2.sha2_32_chunks(msg, 256 if out_words == 8
+                                          else 224)
     nb = msg.shape[0] // 16
     blocks = msg.reshape((nb, 16) + msg.shape[1:])
     state = jnp.broadcast_to(

@@ -146,3 +146,17 @@ def test_pallas_rsa_pow_matches_ints():
                                bn.ints_to_limbs_batch(mods, k),
                                bn.barrett_mu_batch(mods, k), exp))))
         assert got == [pow(s, exp, m) for s, m in zip(sigs, mods)], exp
+
+
+@pytest.mark.slow
+def test_pallas_sha256_single_block_matches_hashlib():
+    # interpret mode executes the unrolled kernel op-by-op — keep it to
+    # ONE block and ONE lane; the on-chip gate covers real sizes
+    import hashlib
+    from passport_zk_circuits_tpu.ops import sha2
+    m = b"abc"
+    words = np.stack([sha2.bytes_to_words32(sha2.pad_message(m, 512))],
+                     axis=-1)
+    dw = np.asarray(jax.block_until_ready(sha2.sha_hash_chunks(words, 256)))
+    got = b"".join(int(dw[w, 0]).to_bytes(4, "big") for w in range(8))
+    assert got == hashlib.sha256(m).digest()

@@ -152,6 +152,23 @@ def main() -> int:
     print(f"prsa.pow_mod (2048-bit, e=65537/3): OK "
           f"({time.time() - t0:.1f}s)", flush=True)
 
+    # 7. fused SHA-256/224 vs hashlib
+    t0 = time.time()
+    from passport_zk_circuits_tpu.ops import sha2
+    import hashlib
+    msgs = [bytes(rng.randrange(256) for _ in range(93)) for _ in range(B)]
+    words = np.stack([sha2.bytes_to_words32(sha2.pad_message(m, 512))
+                      for m in msgs], axis=-1)
+    for algo, hname in ((256, "sha256"), (224, "sha224")):
+        dw = np.asarray(jax.block_until_ready(
+            sha2.sha_hash_chunks(words, algo)))
+        for i, m in enumerate(msgs):
+            got = b"".join(int(dw[w, i]).to_bytes(4, "big")
+                           for w in range(dw.shape[0]))
+            assert got == hashlib.new(hname, m).digest(), f"sha{algo}"
+    print(f"psha.sha2_32_chunks (256/224): OK ({time.time() - t0:.1f}s)",
+          flush=True)
+
     with open(MARKER, "w") as f:
         f.write(f"verified {time.time()} on {jax.devices()[0].device_kind} "
                 f"by tools/verify_pallas_tpu.py\n")
