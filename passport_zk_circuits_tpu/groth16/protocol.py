@@ -12,10 +12,12 @@ Division of labor:
     both as ints (G2 pieces) and as device limb tensors (G1 query tables
     for the MSMs).
   * `prove`   — the hot path, on device: Az/Bz/Cz via the batched sparse
-    matvec, h(X) = (AzBz-Cz)/Z via coset NTT over Fr (ops/ntt), and the
-    A/B1/K/H multi-scalar multiplications via ops/msm on bn254_g1. Handles
-    a BATCH of witnesses at once (one proof per batch lane). G2 work
-    (pi_B) is a single sparse combination done host-side.
+    matvec, h(X) = (AzBz-Cz)/Z via coset NTT over Fr (ops/ntt), the
+    A/B1/K/H multi-scalar multiplications via ops/msm on bn254_g1, and
+    pi_B via a G2 MSM over the [v_j(tau)]G2 query (ops/g2) — the
+    production key shape; no toxic-waste-derived scalars ride in the PK.
+    Handles a BATCH of witnesses at once (one proof per batch lane),
+    sharing the MSM window tables across lanes.
   * `verify`  — host-side pairing product (groth16/pairing.py):
     e(A,B) = e(alpha,beta) e(sum_pub, gamma) e(C, delta).
 
@@ -37,6 +39,7 @@ import jax.numpy as jnp
 
 from ..ops import bignum as bn
 from ..ops import field as fr
+from ..ops import g2 as _g2
 from ..ops import ntt as _ntt
 from ..ops import msm as _msm
 from ..ops.weierstrass import ctx as _wctx
@@ -61,13 +64,14 @@ class ProvingKey:
     b1_query: np.ndarray
     k_query: np.ndarray                 # (2, k, n_vars - n_public - 1)
     h_query: np.ndarray                 # (2, k, m - 1)
-    v_scalars: list                     # v_j(tau) Fr scalars (DEV-ONLY: a
-    #   production PK must carry [v_j(tau)]G2 points and a G2 MSM instead;
-    #   with the seeded dev ceremony the scalars are no more secret than
-    #   the seed, and they collapse pi_B to one G2 mult per proof)
+    b2_query: np.ndarray                # (2, k, 2, n_vars) [v_j(tau)]G2 —
+    #   the production key shape (snarkjs zkey B2 section analog,
+    #   export-keys.sh:27-31); pi_B is a G2 MSM over these points, so the
+    #   key never exposes the v_j(tau) scalars themselves
     a_inf: np.ndarray                   # bool masks: query point is infinity
     b1_inf: np.ndarray
     k_inf: np.ndarray
+    b2_inf: np.ndarray
 
 
 @dataclasses.dataclass
@@ -248,6 +252,33 @@ def _g1_mul_many(scalars: List[int]) -> Tuple[np.ndarray, np.ndarray]:
     return np.stack([xs, ys]), inf
 
 
+def _g2_mul_many(scalars: List[int]) -> Tuple[np.ndarray, np.ndarray]:
+    """[s]G2 for a list of Fr scalars -> ((2, k, 2, N) FQ2 affine limb
+    tensor, infinity mask) — the b2_query builder. Small lists run on the
+    host (pairing affine ops); large ones ride the batched device stride-8
+    fixed-base ladder over the twist (ops/g2.fixed_base_mul)."""
+    n = len(scalars)
+    scalars = [s % fr.P for s in scalars]
+    host_cutoff = 256 if jax.default_backend() == "tpu" else 20000
+    if n <= host_cutoff:
+        return _g2.points_to_limbs([pr.ec_mul(pr.G2, s) for s in scalars])
+    inf = np.array([s == 0 for s in scalars], dtype=bool)
+    out = np.zeros((2, _g2.K, 2, n), np.uint32)
+
+    @jax.jit
+    def fb(sl):
+        return _g2.to_affine(_g2.fixed_base_mul(sl))
+
+    for lo in range(0, n, _FB_CHUNK):
+        hi = min(n, lo + _FB_CHUNK)
+        chunk = scalars[lo:hi] + [0] * (_FB_CHUNK - (hi - lo))
+        sl = bn.ints_to_limbs_batch(chunk, _g2.KN)
+        x, y = fb(jnp.asarray(sl))
+        out[0, :, :, lo:hi] = np.asarray(x)[:, :, :hi - lo]
+        out[1, :, :, lo:hi] = np.asarray(y)[:, :, :hi - lo]
+    return out, inf
+
+
 def setup(cs: ConstraintSystem, n_public: int, seed: int = 0):
     """Build (ProvingKey, VerifyingKey). Toxic waste from `seed` — dev only."""
     rng = random.Random(("groth16-setup", seed).__repr__())
@@ -278,6 +309,7 @@ def setup(cs: ConstraintSystem, n_public: int, seed: int = 0):
     b1_q, b1_inf = _g1_mul_many(v)
     k_q, k_inf = _g1_mul_many(k_scalars)
     h_q, h_inf = _g1_mul_many([t * zd % fr.P for t in tau_pows])
+    b2_q, b2_inf = _g2_mul_many(v)
     assert not h_inf.any()
     ic = [_g1_mul((beta * u[j] + alpha * v[j] + w_[j]) % fr.P
                   * gamma_inv % fr.P) for j in range(n_public + 1)]
@@ -287,7 +319,8 @@ def setup(cs: ConstraintSystem, n_public: int, seed: int = 0):
         alpha1=_g1_mul(alpha), beta1=_g1_mul(beta), delta1=_g1_mul(delta),
         beta2=pr.ec_mul(pr.G2, beta), delta2=pr.ec_mul(pr.G2, delta),
         a_query=a_q, b1_query=b1_q, k_query=k_q, h_query=h_q,
-        v_scalars=v, a_inf=a_inf, b1_inf=b1_inf, k_inf=k_inf)
+        b2_query=b2_q, a_inf=a_inf, b1_inf=b1_inf, k_inf=k_inf,
+        b2_inf=b2_inf)
     vk = VerifyingKey(
         n_public=n_public, alpha1=pk.alpha1, beta2=pk.beta2,
         gamma2=pr.ec_mul(pr.G2, gamma), delta2=pk.delta2, ic=ic)
@@ -388,10 +421,11 @@ def h_coefficients(cs: ConstraintSystem, witness):
     return _h_from_evals_fn(m)(*evs, shift, unshift)
 
 
-_msm_jit = jax.jit(_msm.msm, static_argnames=("curve",))
+_msm_jit = jax.jit(_msm.msm_affine, static_argnames=("curve",))
 
 
 _MSM_CHUNK = 65536
+_MSM_CHUNK_G2 = 16384                   # FQ2 coords double the footprint
 
 
 def _g1_add_int(p, q):
@@ -412,78 +446,91 @@ def _g1_add_int(p, q):
     return (x3, (lam * (x1 - x3) - y1) % _Q)
 
 
-def _device_msm(query: np.ndarray, inf_mask, scalars: np.ndarray):
-    """MSM of a G1 query table against one lane's scalars; host ints out.
+def _msm_lanes(query: np.ndarray, inf_mask, scalars: np.ndarray,
+               curve: str = "bn254_g1") -> list:
+    """Device MSM of a query table against per-lane scalars.
 
-    query: (2, k, N) limbs, scalars: (16, N) Fr limbs. N is padded to a
-    power-of-two bucket (zero scalars -> infinity lanes) so query sizes
-    reuse compiled MSM executables; widths past _MSM_CHUNK run as chunked
-    partial MSMs combined host-side (one huge MSM program OOMs the
-    compile helper at the flagship's 2^19 lanes)."""
-    n = query.shape[2]
+    query: (2, k, N) G1 / (2, k, 2, N) G2 affine limbs;
+    scalars: (16, B, N) Fr limbs (B proof lanes sharing the table — the
+    per-point window tables are built ONCE and reused by every lane).
+    N chunks are bucket-padded to powers of two so query sizes reuse
+    compiled MSM executables (one huge program OOMs the compile helper at
+    the flagship's 2^19 lanes); chunk partials combine host-side.
+    Returns one host affine point per lane (ints for G1, pairing FQ2
+    points for G2; None = infinity)."""
+    g2f = curve == "bn254_g2"
+    n = query.shape[-1]
+    nb = scalars.shape[1]
     if n == 0:
-        return None
-    s = scalars.copy()
+        return [None] * nb
+    s = scalars
     if inf_mask is not None and inf_mask.any():
-        s[:, inf_mask] = 0
-    if n > _MSM_CHUNK:
-        acc = None
-        for lo in range(0, n, _MSM_CHUNK):
-            part = _device_msm(query[:, :, lo:lo + _MSM_CHUNK], None,
-                               s[:, lo:lo + _MSM_CHUNK])
-            acc = _g1_add_int(acc, part)
-        return acc
-    bucket = max(8, 1 << (n - 1).bit_length())
-    if bucket != n:
-        query = np.pad(query, ((0, 0), (0, 0), (0, bucket - n)))
-        s = np.pad(s, ((0, 0), (0, bucket - n)))
-    x, y = _msm_jit(jnp.asarray(query[0]), jnp.asarray(query[1]),
-                    jnp.asarray(s))
-    xi = bn.limbs_to_int(np.asarray(x))
-    yi = bn.limbs_to_int(np.asarray(y))
-    if xi == 0 and yi == 0:
-        return None
-    return (xi, yi)
+        s = scalars.copy()
+        s[:, :, inf_mask] = 0
+    chunk = _MSM_CHUNK_G2 if g2f else _MSM_CHUNK
+    per_lane = [None] * nb
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        q = query[..., lo:hi]
+        sc = s[..., lo:hi]
+        w = hi - lo
+        bucket = max(8, 1 << (w - 1).bit_length())
+        if bucket != w:
+            q = np.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, bucket - w)])
+            sc = np.pad(sc, [(0, 0)] * (sc.ndim - 1) + [(0, bucket - w)])
+        x, y = _msm_jit(jnp.asarray(q[0]), jnp.asarray(q[1]),
+                        jnp.asarray(sc), curve=curve)
+        x, y = np.asarray(x), np.asarray(y)            # (k[,2], B)
+        for lane in range(nb):
+            if g2f:
+                pt = _g2.limbs_to_point(x[..., lane], y[..., lane])
+                per_lane[lane] = pr.ec_add(per_lane[lane], pt)
+            else:
+                xi = bn.limbs_to_int(x[:, lane])
+                yi = bn.limbs_to_int(y[:, lane])
+                pt = None if xi == 0 and yi == 0 else (xi, yi)
+                per_lane[lane] = _g1_add_int(per_lane[lane], pt)
+    return per_lane
 
 
 def prove(pk: ProvingKey, cs: ConstraintSystem, witness, seed: int = 1):
-    """Groth16 prove over a batched witness (n_vars, 16, B) -> [Proof]*B."""
+    """Groth16 prove over a batched witness (n_vars, 16, B) -> [Proof]*B.
+
+    All four G1 MSMs and the pi_B G2 MSM run lane-batched on device; the
+    host only combines chunk partials and applies the r/s blinding."""
     witness = np.asarray(witness)
     nv, _, batch = witness.shape
     rng = random.Random(("groth16-prove", seed).__repr__())
 
     h = np.asarray(h_coefficients(cs, jnp.asarray(witness)))  # (16, m-1, B)
-    w_ints = [bn.limbs_to_ints_batch(witness[j]) for j in range(nv)]
+    w_s = np.ascontiguousarray(witness.transpose(1, 2, 0))    # (16, B, nv)
+
+    a_sums = _msm_lanes(pk.a_query, pk.a_inf, w_s)
+    b1_sums = _msm_lanes(pk.b1_query, pk.b1_inf, w_s)
+    k_sums = _msm_lanes(pk.k_query, pk.k_inf,
+                        np.ascontiguousarray(w_s[:, :, pk.n_public + 1:]))
+    h_sums = _msm_lanes(pk.h_query, None,
+                        np.ascontiguousarray(h.transpose(0, 2, 1)))
+    b2_sums = _msm_lanes(pk.b2_query, pk.b2_inf, w_s, curve="bn254_g2")
 
     proofs = []
     for lane in range(batch):
         r_rand = rng.randrange(fr.P)
         s_rand = rng.randrange(fr.P)
-        w_lane = witness[:, :, lane].T                  # (16, n_vars)
-
-        a_sum = _device_msm(pk.a_query, pk.a_inf, w_lane)
-        b1_sum = _device_msm(pk.b1_query, pk.b1_inf, w_lane)
-        k_sum = _device_msm(pk.k_query, pk.k_inf,
-                            w_lane[:, pk.n_public + 1:])
-        h_sum = _device_msm(pk.h_query, None, h[:, :, lane])
 
         # pi_A = alpha + sum w_j u_j(tau) + r delta
-        pi_a = pr.ec_add(pr.ec_add(_g1_wrap(pk.alpha1), _g1_wrap(a_sum)),
+        pi_a = pr.ec_add(pr.ec_add(_g1_wrap(pk.alpha1),
+                                   _g1_wrap(a_sums[lane])),
                          pr.ec_mul(_g1_wrap(pk.delta1), r_rand))
-        # pi_B (G2) = beta + [sum w_j v_j(tau)] + s delta: the sum rides
-        # ONE G2 scalar mult via the dev-mode v_scalars (see ProvingKey)
-        vw = 0
-        for j in range(nv):
-            wj = w_ints[j][lane]
-            if wj:
-                vw = (vw + wj * pk.v_scalars[j]) % fr.P
+        # pi_B (G2) = beta + sum w_j [v_j(tau)]G2 + s delta
         pi_b2 = pr.ec_add(pk.beta2, pr.ec_mul(pk.delta2, s_rand))
-        pi_b2 = pr.ec_add(pi_b2, pr.ec_mul(pr.G2, vw))
+        pi_b2 = pr.ec_add(pi_b2, b2_sums[lane])
         # pi_B in G1 (for pi_C)
-        pi_b1 = pr.ec_add(pr.ec_add(_g1_wrap(pk.beta1), _g1_wrap(b1_sum)),
+        pi_b1 = pr.ec_add(pr.ec_add(_g1_wrap(pk.beta1),
+                                    _g1_wrap(b1_sums[lane])),
                           pr.ec_mul(_g1_wrap(pk.delta1), s_rand))
         # pi_C = K + H + s pi_A + r pi_B1 - r s delta
-        pi_c = pr.ec_add(_g1_wrap(k_sum), _g1_wrap(h_sum))
+        pi_c = pr.ec_add(_g1_wrap(k_sums[lane]), _g1_wrap(h_sums[lane]))
         pi_c = pr.ec_add(pi_c, pr.ec_mul(pi_a, s_rand))
         pi_c = pr.ec_add(pi_c, pr.ec_mul(pi_b1, r_rand))
         pi_c = pr.ec_add(pi_c, pr.ec_mul(_g1_wrap(pk.delta1),

@@ -35,7 +35,14 @@ _CACHE_DIR = pathlib.Path(__file__).parent.parent / "utils" / "constants"
 
 
 class CurveCtx:
-    """Static per-curve limb constants + field helpers."""
+    """Static per-curve limb constants + field helpers.
+
+    The Jacobian group formulas below (`jac_add`/`jac_double`/...) touch
+    the base field only through this interface — `mul/sqr/add/sub/inv`,
+    `a_const_like/const_like` (constants shaped like a coordinate),
+    `is_zero_f` (per-point predicate) and `sel` (predicated coordinate
+    select) — so an extension-field context (ops/g2.G2Ctx over FQ2)
+    reuses them verbatim."""
 
     def __init__(self, curve: Curve):
         self.curve = curve
@@ -68,6 +75,20 @@ class CurveCtx:
         return bn._bcast_limbs(bn.int_to_limbs(v % self.curve.p, self.k),
                                bshape)
 
+    # -- group-formula interface (overridden by extension-field ctxs) --
+
+    def const_like(self, v: int, tmpl):
+        return self.const(v, tmpl.shape[1:])
+
+    def a_const_like(self, tmpl):
+        return self.const(self.curve.a, tmpl.shape[1:])
+
+    def is_zero_f(self, x):
+        return bn.is_zero(x)
+
+    def sel(self, cond, a, b):
+        return jnp.where(cond[None].astype(bool), a, b)
+
 
 @functools.lru_cache(maxsize=None)
 def ctx(name: str) -> CurveCtx:
@@ -78,8 +99,9 @@ def _sel(cond, a, b):
     return jnp.where(cond[None].astype(bool), a, b)
 
 
-def sel_point(cond, P, Q):
-    return tuple(_sel(cond, a, b) for a, b in zip(P, Q))
+def sel_point(cond, P, Q, c: CurveCtx = None):
+    sel = c.sel if c is not None else _sel
+    return tuple(sel(cond, a, b) for a, b in zip(P, Q))
 
 
 def infinity(c: CurveCtx, bshape):
@@ -87,8 +109,13 @@ def infinity(c: CurveCtx, bshape):
     return (one, one, jnp.zeros_like(one))
 
 
-def is_inf(P):
-    return bn.is_zero(P[2])
+def infinity_like(c: CurveCtx, tmpl):
+    one = c.const_like(1, tmpl)
+    return (one, one, jnp.zeros_like(one))
+
+
+def is_inf(P, c: CurveCtx = None):
+    return c.is_zero_f(P[2]) if c is not None else bn.is_zero(P[2])
 
 
 def jac_double(c: CurveCtx, P):
@@ -102,7 +129,7 @@ def jac_double(c: CurveCtx, P):
     S = c.add(S, S)
     S = c.add(S, S)                                  # 4*X*Y^2
     M = c.add(c.add(XX, XX), XX)                     # 3*X^2
-    M = c.add(M, c.mul(c.const(c.curve.a, XX.shape[1:]), c.sqr(ZZ)))
+    M = c.add(M, c.mul(c.a_const_like(XX), c.sqr(ZZ)))
     X3 = c.sub(c.sqr(M), c.add(S, S))
     t = c.sub(S, X3)
     Y8 = YYYY
@@ -133,20 +160,20 @@ def jac_add(c: CurveCtx, P, Q):
     Z3 = c.mul(c.mul(Z1, Z2), H)
     added = (X3, Y3, Z3)
 
-    x_eq = bn.is_zero(H)
-    y_eq = bn.is_zero(R)
-    res = sel_point(x_eq & y_eq, jac_double(c, P), added)
-    res = sel_point(x_eq & ~y_eq, infinity(c, X1.shape[1:]), res)
-    res = sel_point(is_inf(P), Q, res)
-    res = sel_point(is_inf(Q), P, res)
+    x_eq = c.is_zero_f(H)
+    y_eq = c.is_zero_f(R)
+    res = sel_point(x_eq & y_eq, jac_double(c, P), added, c)
+    res = sel_point(x_eq & ~y_eq, infinity_like(c, X1), res, c)
+    res = sel_point(is_inf(P, c), Q, res, c)
+    res = sel_point(is_inf(Q, c), P, res, c)
     return res
 
 
 def jac_add_affine(c: CurveCtx, P, qx, qy, q_is_inf):
     """Mixed addition with an affine point (Z2 = 1)."""
-    one = c.const(1, qx.shape[1:])
+    one = c.const_like(1, qx)
     res = jac_add(c, P, (qx, qy, one))
-    return sel_point(q_is_inf, P, res)
+    return sel_point(q_is_inf, P, res, c)
 
 
 def to_affine(c: CurveCtx, P):
@@ -156,8 +183,9 @@ def to_affine(c: CurveCtx, P):
     zi2 = c.sqr(zi)
     x = c.mul(X, zi2)
     y = c.mul(Y, c.mul(zi, zi2))
-    inf = is_inf(P)
-    return _sel(inf, jnp.zeros_like(x), x), _sel(inf, jnp.zeros_like(y), y)
+    inf = is_inf(P, c)
+    return (c.sel(inf, jnp.zeros_like(x), x),
+            c.sel(inf, jnp.zeros_like(y), y))
 
 
 def scalar_mul_window(c: CurveCtx, scalar_limbs, qx, qy):

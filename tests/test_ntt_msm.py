@@ -59,17 +59,57 @@ def test_ntt_roundtrip_and_polymul():
 
 
 def test_msm_vs_oracle():
+    """Pippenger-table MSM with a lane axis vs the naive host oracle.
+    N=8 points, 2 proof lanes; lane 1 includes zero scalars (infinity
+    table entries) to exercise the unified-add edge cases."""
     cv = CURVES["bn254_g1"]
-    N = 5
-    scalars = [rng.randrange(1, cv.n) for _ in range(N)]
+    N, B = 8, 2
+    lanes = [[rng.randrange(1, cv.n) for _ in range(N)],
+             [0, 0] + [rng.randrange(1, cv.n) for _ in range(N - 2)]]
     pts = [ecref.scalar_mul(cv, rng.randrange(1, cv.n), (cv.gx, cv.gy))
            for _ in range(N)]
     px = bn.ints_to_limbs_batch([p[0] for p in pts], 16)
     py = bn.ints_to_limbs_batch([p[1] for p in pts], 16)
+    s = np.stack([bn.ints_to_limbs_batch(l, 16) for l in lanes], axis=1)
+    x, y = jax.jit(msm.msm_affine, static_argnums=3)(px, py, s, "bn254_g1")
+
+    for lane, scalars in enumerate(lanes):
+        acc = None
+        for k, p in zip(scalars, pts):
+            if k:
+                acc = ecref._add(cv, acc, ecref.scalar_mul(cv, k, p))
+        assert (bn.limbs_to_int(np.asarray(x)[:, lane]),
+                bn.limbs_to_int(np.asarray(y)[:, lane])) == acc
+
+
+def test_msm_g2_vs_oracle():
+    """G2 MSM (production pi_B path) vs the host pairing-module oracle."""
+    from passport_zk_circuits_tpu.ops import g2
+    from passport_zk_circuits_tpu.groth16 import pairing as pr
+
+    N = 4
+    base_ks = [rng.randrange(1, pr.R) for _ in range(N)]
+    pts = [pr.ec_mul(pr.G2, k) for k in base_ks]
+    scalars = [rng.randrange(1, pr.R) for _ in range(N - 1)] + [0]
+    q, inf = g2.points_to_limbs(pts)
     s = bn.ints_to_limbs_batch(scalars, 16)
-    x, y = jax.jit(msm.msm, static_argnums=3)(px, py, s, "bn254_g1")
+    x, y = jax.jit(msm.msm_affine, static_argnums=3)(
+        q[0], q[1], s, "bn254_g2")
 
     acc = None
     for k, p in zip(scalars, pts):
-        acc = ecref._add(cv, acc, ecref.scalar_mul(cv, k, p))
-    assert (bn.limbs_to_int(x), bn.limbs_to_int(y)) == acc
+        acc = pr.ec_add(acc, pr.ec_mul(p, k))
+    assert g2.limbs_to_point(np.asarray(x), np.asarray(y)) == acc
+
+
+def test_g2_fixed_base_vs_oracle():
+    from passport_zk_circuits_tpu.ops import g2
+    from passport_zk_circuits_tpu.groth16 import pairing as pr
+
+    ks = [0, 1, rng.randrange(pr.R)]
+    sl = bn.ints_to_limbs_batch(ks, 16)
+    x, y = jax.jit(lambda s: g2.to_affine(g2.fixed_base_mul(s)))(sl)
+    for i, k in enumerate(ks):
+        got = g2.limbs_to_point(np.asarray(x)[:, :, i],
+                                np.asarray(y)[:, :, i])
+        assert got == pr.ec_mul(pr.G2, k)
