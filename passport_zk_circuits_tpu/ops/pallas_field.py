@@ -68,13 +68,25 @@ def use_pallas() -> bool:
     breaking the flagship on the only real hardware — and a Mosaic compile
     can also hang, so an in-process probe is not a safe gate. The default
     path therefore never routes through a kernel that has not been
-    positively verified on this hardware."""
+    positively verified on this hardware. The marker is machine-local
+    (gitignored) and records the device kind it was verified on; a
+    different TPU generation does not inherit it."""
     import os
     env = os.environ.get("PZK_PALLAS")
     if env is not None:
         return env != "0"
-    return (jax.default_backend() == "tpu"
-            and os.path.exists(_verified_marker_path()))
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        with open(_verified_marker_path()) as f:
+            marker = f.read()
+    except OSError:
+        return False
+    # "verified <ts> on <device kind> by tools/verify_pallas_tpu.py"
+    if " on " not in marker or " by " not in marker:
+        return False
+    kind = marker.split(" on ", 1)[1].split(" by ", 1)[0].strip()
+    return kind == jax.devices()[0].device_kind
 
 
 # ---------------------------------------------------------------------------

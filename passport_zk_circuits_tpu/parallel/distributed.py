@@ -31,22 +31,28 @@ def init_distributed(coordinator: str | None = None,
     """Initialize jax.distributed for an N>=2 host run.
 
     With no args, reads the standard env/TPU-metadata auto-config (the
-    normal path on a real pod slice). No-op if already initialized or if
-    this is a single-process run with no coordinator configured.
+    normal path on a real pod slice) and degrades to a no-op on a
+    single host. With an explicit coordinator, failures PROPAGATE — a
+    2-process run that silently falls back to 1 process is a wrong
+    topology, not a graceful degradation. (Round-4 bug, caught by
+    tests/_dist_worker.py: probing `jax.process_count()` first
+    initializes the backend, which makes `initialize()` itself raise —
+    and the old blanket `except` swallowed that into a silent
+    single-process run.)
     """
-    if jax.process_count() > 1:
+    from jax._src import distributed as _dist_state
+    if getattr(_dist_state.global_state, "client", None) is not None:
         return  # already initialized by the launcher
-    try:
-        if coordinator is None and num_processes is None:
+    if coordinator is None and num_processes is None:
+        try:
             jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(
-                coordinator_address=coordinator,
-                num_processes=num_processes,
-                process_id=process_id)
-    except (RuntimeError, ValueError):
-        # single-host / already-initialized: flat mesh path still works
-        pass
+        except (RuntimeError, ValueError):
+            # no auto-config available: single-host flat mesh still works
+            pass
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
 
 
 def hybrid_mesh(batch_axes: tuple[str, str] = ("dcn", "ici")) -> Mesh:
@@ -58,10 +64,15 @@ def hybrid_mesh(batch_axes: tuple[str, str] = ("dcn", "ici")) -> Mesh:
     if jax.process_count() == 1:
         return Mesh(np.array(jax.devices()), (batch_axes[1],))
     from jax.experimental import mesh_utils
+    # TPU pods group by slice_index; CPU/GPU multi-process runs (incl. the
+    # 2-process CPU test) have no real slices, so the process is the DCN
+    # granule there
+    granule_is_process = jax.devices()[0].platform != "tpu"
     devs = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=(1, jax.local_device_count()),
         dcn_mesh_shape=(jax.process_count(), 1),
-        devices=jax.devices())
+        devices=jax.devices(),
+        process_is_granule=granule_is_process)
     return Mesh(devs, batch_axes)
 
 

@@ -39,15 +39,16 @@ def shard_inputs(tree, mesh: Mesh, axis: str = "batch"):
     return jax.tree_util.tree_map(lambda x: shard_leaf(x, mesh, axis), tree)
 
 
-def sharded_forward(forward_fn, mesh: Mesh, axis: str = "batch"):
-    """jit `forward_fn` with batch-sharded inputs/outputs over `mesh`."""
-    def spec_of(x):
-        return NamedSharding(mesh, batch_spec(np.ndim(x), axis))
-
-    def wrapped(inp):
-        return forward_fn(inp)
-
-    return jax.jit(wrapped)
+def sharded_forward(forward_fn, example_inp, mesh: Mesh,
+                    axis: str = "batch"):
+    """jit `forward_fn` with explicit batch-axis in_shardings derived from
+    `example_inp`'s pytree structure — inputs are re-laid-out onto the
+    mesh even if the caller did not pre-shard them (the constraint the
+    pass-through wrapper of round 4 silently relied on)."""
+    in_shardings = jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, batch_spec(np.ndim(x), axis)),
+        example_inp)
+    return jax.jit(forward_fn, in_shardings=(in_shardings,))
 
 
 def count_valid(out, mesh: Mesh):
