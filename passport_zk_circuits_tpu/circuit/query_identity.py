@@ -1,7 +1,8 @@
-"""QueryIdentity (TD3) lowered to R1CS.
+"""QueryIdentity (TD3 + TD1) lowered to R1CS.
 
 Constraint twin of /root/reference/circuits/identityManagement/
-queryIdentity.circom:37-229 (+ dg1DataExtractor.circom:5-98,
+queryIdentity.circom:37-229 and queryIdentityTD1.circom:47-237
+(+ dg1DataExtractor.circom:5-98, dg1TD1DataExtractor.circom:5-108,
 identityStateVerifier.circom:8-47, citizenshipCheck.circom:6-276),
 matching the witness semantics of models/query_identity.py. Every
 predicate the witness program returns as a boolean is a hard constraint
@@ -12,7 +13,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
-from ..models.query_identity import (_TD3_FIELDS, SEL_NULLIFIER,
+from ..models.query_identity import (_TD3_FIELDS, _TD1_FIELDS,
+                                     SEL_NULLIFIER,
                                      SEL_BIRTH_DATE, SEL_EXPIRATION_DATE,
                                      SEL_NAME, SEL_NATIONALITY,
                                      SEL_CITIZENSHIP, SEL_SEX,
@@ -20,7 +22,9 @@ from ..models.query_identity import (_TD3_FIELDS, SEL_NULLIFIER,
                                      SEL_TS_UPPER, SEL_IDC_LOWER,
                                      SEL_IDC_UPPER, SEL_EXP_LOWER,
                                      SEL_EXP_UPPER, SEL_BIRTH_LOWER,
-                                     SEL_BIRTH_UPPER)
+                                     SEL_BIRTH_UPPER,
+                                     SEL_PERSONAL_NUMBER,
+                                     SEL_DOCUMENT_TYPE)
 from ..utils.constants.countries import COUNTRIES
 from . import babyjubjub as bjj
 from . import dates as cdates
@@ -54,8 +58,8 @@ def _force_if(b: Builder, enabled: Sig, pred: Sig):
     b.enforce(enabled, pred - 1, 0)
 
 
-def build(b: Builder, inp: Dict[str, object]):
-    """Lower QueryIdentity TD3 into an existing Builder.
+def build(b: Builder, inp: Dict[str, object], document_type: int = 3):
+    """Lower QueryIdentity (TD3 or TD1) into an existing Builder.
 
     `inp` carries per-instance value lists: dg1 (bytes), sk, pk_pass_hash,
     event_id, event_data, root, siblings (list of 80 lists), selector,
@@ -64,7 +68,7 @@ def build(b: Builder, inp: Dict[str, object]):
     Returns outputs dict of gated Sigs."""
     B = b.batch
     dg1_bits = []
-    for bit in range(744):
+    for bit in range(744 if document_type == 3 else 760):
         byte, off = divmod(bit, 8)
         s = b.input([(d[byte] >> (7 - off)) & 1 for d in inp["dg1"]],
                     "qdg1")
@@ -92,8 +96,10 @@ def build(b: Builder, inp: Dict[str, object]):
 
     sel_bits = b.num2bits(selector, 18, "q_selbit")
 
+    fields_map = _TD3_FIELDS if document_type == 3 else _TD1_FIELDS
+
     def field(name):
-        off, size = _TD3_FIELDS[name]
+        off, size = fields_map[name]
         return _bits_value_msb(b, dg1_bits[off:off + size])
 
     def gate(value, bit_idx):
@@ -108,13 +114,25 @@ def build(b: Builder, inp: Dict[str, object]):
         "expiration_date": gate(field("expiration_date"),
                                 SEL_EXPIRATION_DATE),
         "name": gate(field("name"), SEL_NAME),
-        "name_residual": gate(field("name_residual"), SEL_NAME),
         "nationality": gate(field("nationality"), SEL_NATIONALITY),
         "citizenship": gate(field("citizenship"), SEL_CITIZENSHIP),
         "sex": gate(field("sex"), SEL_SEX),
-        "document_number": gate(field("document_number"),
-                                SEL_DOCUMENT_NUMBER),
     }
+    if document_type == 3:
+        outputs["name_residual"] = gate(field("name_residual"), SEL_NAME)
+        outputs["document_number"] = gate(field("document_number"),
+                                          SEL_DOCUMENT_NUMBER)
+    else:
+        # TD1 hashes the document/personal numbers before disclosure
+        # (queryIdentityTD1.circom:146-166)
+        outputs["document_number_hash"] = gate(
+            pose.poseidon(b, [field("document_number")]),
+            SEL_DOCUMENT_NUMBER)
+        outputs["personal_number_hash"] = gate(
+            pose.poseidon(b, [field("personal_number")]),
+            SEL_PERSONAL_NUMBER)
+        outputs["document_type"] = gate(field("document_type"),
+                                        SEL_DOCUMENT_TYPE)
 
     # -- numeric bounds (queryIdentity.circom:110-149); inputs 64-bit ---
     for v in (ts, ts_lo, ts_hi, idc, idc_lo, idc_hi):
@@ -138,8 +156,9 @@ def build(b: Builder, inp: Dict[str, object]):
               cdates.encoded_date_is_less_normalized(b, birth, bd_hi,
                                                      current_date))
 
-    # -- dg1 commitment recompute (:193-206) ---------------------------
-    chunks = [_bits_value_lsb(b, dg1_bits[i * 186:(i + 1) * 186])
+    # -- dg1 commitment recompute (:193-206; TD1 uses 190-bit chunks) --
+    cs = 186 if document_type == 3 else 190
+    chunks = [_bits_value_lsb(b, dg1_bits[i * cs:(i + 1) * cs])
               for i in range(4)]
     dg_commit = pose.poseidon(b, chunks + [sk_hash])
 

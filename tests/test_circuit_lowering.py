@@ -102,6 +102,81 @@ def test_sha256_gadget_matches_hashlib():
 
 
 @pytest.mark.slow
+def test_sha512_sha384_sha1_gadgets_match_hashlib():
+    from passport_zk_circuits_tpu.circuit import sha as csha_all
+    from passport_zk_circuits_tpu.ingest import native
+    rng = random.Random(5)
+    for algo, hname in ((512, "sha512"), (384, "sha384"), (160, "sha1")):
+        block = 1024 if algo in (384, 512) else 512
+        nbytes = 100 if block == 1024 else 50       # one padded block
+        msgs = [bytes(rng.randrange(256) for _ in range(nbytes)),
+                bytes(rng.randrange(256) for _ in range(nbytes))]
+        words = native.pad_words32_batch(msgs, block, 1)
+        b = Builder(2)
+        bits = []
+        for w in range(words.shape[0]):
+            for i in range(31, -1, -1):
+                s = b.input([(int(v) >> i) & 1 for v in words[w]])
+                b.enforce_bool(s)
+                bits.append(s)
+        digest = csha_all.sha_hash_chunks(b, bits, algo)
+        assert len(digest) == {512: 512, 384: 384, 160: 160}[algo]
+        for lane in range(2):
+            want = hashlib.new(hname, msgs[lane]).digest()
+            got_bits = [bt.ints()[lane] for bt in digest]
+            got = bytes(
+                sum(got_bits[8 * i + k] << (7 - k) for k in range(8))
+                for i in range(len(want)))
+            assert got == want, (algo, lane)
+        _check(b)
+
+
+def _lowering_config_roundtrip(name: str):
+    from passport_zk_circuits_tpu.models.params import CircuitParams
+    from passport_zk_circuits_tpu.ingest import synthetic
+    from passport_zk_circuits_tpu.circuit import register_identity as cri
+    from passport_zk_circuits_tpu.r1cs.system import check_batched as chk
+
+    p = CircuitParams.from_name(name)
+    rng = random.Random(hash(name) & 0xFFFF)
+    pp = synthetic.make_synthetic_passport(p, rng)
+    b, outs = cri.build(p, [pp])
+    want = synthetic.expected_outputs(p, pp)
+    for key in ("passport_hash", "dg1_commitment", "pk_identity_hash",
+                "dg15_pubkey_hash"):
+        assert outs[key].ints() == [want[key]], (name, key)
+    assert outs["pubkey_hash"].ints() == [
+        synthetic.rsa_pubkey_hash_oracle(pp["pubkey"])]
+    assert outs["smt_ok"].ints() == [1]
+    ok, _ = chk(b.cs, b.witness_matrix())
+    assert np.asarray(ok).all()
+    return b
+
+
+@pytest.mark.slow
+def test_register_identity_rsapss_lowering():
+    """SIG_ALGO 11 (RSA-2048-PSS salt32) lowered: MGF1/EMSA-PSS as hard
+    constraints (rsaPss.circom twin)."""
+    _lowering_config_roundtrip("registerIdentity_11_256_3_4_600_248_0_0_1_0")
+
+
+@pytest.mark.slow
+def test_register_identity_sha1_lowering():
+    """SIG_ALGO 3 (RSA-2048 + SHA-1, dg SHA-1): the 160-bit hash gadget
+    wired through the full circuit."""
+    _lowering_config_roundtrip("registerIdentity_3_160_3_4_600_248_0_0_1_0")
+
+
+@pytest.mark.slow
+def test_register_identity_sha384_pss_lowering():
+    """SIG_ALGO 13 (RSA-2048-PSS + SHA-384, dg SHA-384): 64-bit-word SHA
+    blocks (sha512Rounds.circom twin) through hashes, flow, and PSS."""
+    # ec_shift 504: SHA-384 digests (48B) must fit the 111-byte signed
+    # attributes (one 1024-bit block minus the 17-byte MD padding minimum)
+    _lowering_config_roundtrip("registerIdentity_13_384_3_4_504_248_0_0_1_0")
+
+
+@pytest.mark.slow
 def test_register_light_lowering_e2e():
     from passport_zk_circuits_tpu.circuit import register_light
     rng = random.Random(42)
@@ -303,6 +378,74 @@ def test_query_identity_lowering():
     w_bad[root_wire, :, 0] = frf.to_limbs((roots[0] + 1) % pref.P)
     ok_bad, _ = check_batched(b.cs, w_bad)
     assert not np.asarray(ok_bad)[0] and np.asarray(ok_bad)[1]
+
+
+def test_query_identity_td1_lowering():
+    """QueryIdentity TD1 lowered to R1CS (queryIdentityTD1.circom:47-237):
+    documentNumberHash / personalNumberHash / documentType outputs,
+    190-bit commitment chunks, all predicates enforced."""
+    from passport_zk_circuits_tpu.circuit import query_identity as cqi
+    rng2 = random.Random(909)
+
+    def make_dg1():
+        dg1 = bytearray(95)
+        for i in range(95):
+            dg1[i] = 0x41 + rng2.randrange(26)
+        dg1[5:7] = b"ID"
+        dg1[7:10] = b"UKR"
+        dg1[10:19] = b"D23145890"
+        dg1[20:31] = b"99001558998"
+        dg1[35:41] = b"900115"
+        dg1[42] = ord("M")
+        dg1[43:49] = b"301231"
+        dg1[50:53] = b"UKR"
+        return bytes(dg1)
+
+    B = 2
+    dg1s = [make_dg1() for _ in range(B)]
+    sks = [rng2.randrange(1, pref.P) for _ in range(B)]
+    pkp = [rng2.randrange(pref.P) for _ in range(B)]
+    ts = [1716482295, 1716482299]
+    idc = [1, 2]
+    roots = []
+    for dg1, sk, pk, t, c in zip(dg1s, sks, pkp, ts, idc):
+        bits = [(byte >> (7 - i)) & 1 for byte in dg1 for i in range(8)]
+        chunks = [sum(bits[j * 190 + k] << k for k in range(190))
+                  for j in range(4)]
+        commit = pref.poseidon(chunks + [pref.poseidon([sk])])
+        x, y = bref.base8_mul(sk % (1 << 254))
+        key = pref.poseidon([pk, pref.poseidon([x, y])])
+        value = pref.poseidon([commit, c, t])
+        roots.append(pref.poseidon([key, value, 1]))
+
+    enc = lambda s: int.from_bytes(s, "big")  # noqa: E731
+    inp = {
+        "dg1": dg1s, "sk": sks, "pk_passport_hash": pkp,
+        "event_id": [5, 6], "event_data": [7, 8], "root": roots,
+        "siblings": [[0] * B for _ in range(80)],
+        "selector": [(1 << 18) - 1] * B,
+        "current_date": [enc(b"250817")] * B,
+        "timestamp": ts, "timestamp_lower": [ts[0]] * B,
+        "timestamp_upper": [ts[1] + 10] * B,
+        "identity_counter": idc, "identity_counter_lower": [0] * B,
+        "identity_counter_upper": [5] * B,
+        "birth_date_lower": [enc(b"800101")] * B,
+        "birth_date_upper": [enc(b"991231")] * B,
+        "expiration_date_lower": [enc(b"250101")] * B,
+        "expiration_date_upper": [enc(b"501231")] * B,
+        "citizenship_mask": [0] * B,
+    }
+    b = Builder(B)
+    outs = cqi.build(b, inp, document_type=1)
+    for j in range(B):
+        assert outs["document_number_hash"].ints()[j] == pref.poseidon(
+            [enc(b"D23145890")])
+        assert outs["personal_number_hash"].ints()[j] == pref.poseidon(
+            [enc(b"99001558998")])
+        assert outs["document_type"].ints()[j] == enc(b"ID")
+        assert outs["citizenship"].ints()[j] == enc(b"UKR")
+    ok, _ = check_batched(b.cs, b.witness_matrix())
+    assert np.asarray(ok).all()
 
 
 @pytest.mark.slow
