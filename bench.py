@@ -49,10 +49,13 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
-    from __graft_entry__ import _flagship_inputs
+    from __graft_entry__ import _flagship_inputs, _FLAGSHIP
     from passport_zk_circuits_tpu.models import register_identity as ri
 
-    p, inputs = _flagship_inputs(batch=batch)
+    # BENCH_CONFIG selects any registerIdentity_* specialization (e.g. the
+    # ECDSA p256 config for the non-RSA on-chip numbers); default flagship.
+    config = os.environ.get("BENCH_CONFIG", _FLAGSHIP)
+    p, inputs = _flagship_inputs(batch=batch, config=config)
     inputs = jax.device_put(inputs)
 
     def step(inp):
@@ -91,8 +94,12 @@ def main():
         "value": round(wps_chip, 3),
         "unit": "witnesses/s/chip",
         "vs_baseline": round(wps_chip / WASM_BASELINE_WPS, 2),
+        "baseline_estimated": True,  # 0.2 w/s wasm figure is a documented
+        # estimate (BASELINE.md); circom/snarkjs/node are not installed in
+        # this image, so the denominator has never been measured here
         "inputs": "chained_device_resident",
         "batch": batch,
+        "config": config,
     }))
 
 

@@ -96,15 +96,16 @@ class Proof:
 _Q = 21888242871839275222246405745257275088696311157297823662689037894645226208583
 
 
-def _g1_mul(k: int):
-    """[k]G1 with plain-int Jacobian arithmetic (one final inversion) —
+def _g1_mul_point(base, k: int):
+    """[k]base with plain-int Jacobian arithmetic (one final inversion) —
     ~100x faster than the generic field-tower path in groth16/pairing,
-    which matters for the host-side setup loops (ic + small queries)."""
+    which matters for the host-side setup loops (ic + small queries) and
+    the small-MSM host fallback."""
     k %= fr.P
-    if k == 0:
+    if k == 0 or base is None:
         return None
     q = _Q
-    X, Y, Z = 1, 2, 1                      # G1 affine (1, 2)
+    X, Y, Z = base[0], base[1], 1
     RX = RY = None
     RZ = 0
     for bit in bin(k)[2:]:
@@ -153,6 +154,10 @@ def _g1_mul(k: int):
     zi = pow(RZ, q - 2, q)
     zi2 = zi * zi % q
     return (RX * zi2 % q, RY * zi2 % q * zi % q)
+
+
+def _g1_mul(k: int):
+    return _g1_mul_point((1, 2), k)        # G1 generator (1, 2)
 
 
 def _g1_wrap(pt):
@@ -446,6 +451,33 @@ def _g1_add_int(p, q):
     return (x3, (lam * (x1 - x3) - y1) % _Q)
 
 
+_MSM_HOST_CUTOFF = 512
+
+
+def _msm_lanes_host(query: np.ndarray, scalars: np.ndarray, nb: int,
+                    g2f: bool) -> list:
+    """Host-int MSM for small queries (one windowed mult + add per point
+    per lane)."""
+    n = query.shape[-1]
+    out = []
+    for lane in range(nb):
+        ks = [bn.limbs_to_int(scalars[:, lane, j]) for j in range(n)]
+        acc = None
+        for j, k in enumerate(ks):
+            if k == 0:
+                continue
+            if g2f:
+                pt = _g2.limbs_to_point(query[0][..., j], query[1][..., j])
+                acc = pr.ec_add(acc, pr.ec_mul(pt, k))
+            else:
+                xi = bn.limbs_to_int(query[0][:, j])
+                yi = bn.limbs_to_int(query[1][:, j])
+                if xi or yi:
+                    acc = _g1_add_int(acc, _g1_mul_point((xi, yi), k))
+        out.append(acc)
+    return out
+
+
 def _msm_lanes(query: np.ndarray, inf_mask, scalars: np.ndarray,
                curve: str = "bn254_g1") -> list:
     """Device MSM of a query table against per-lane scalars.
@@ -467,6 +499,11 @@ def _msm_lanes(query: np.ndarray, inf_mask, scalars: np.ndarray,
     if inf_mask is not None and inf_mask.any():
         s = scalars.copy()
         s[:, :, inf_mask] = 0
+    if n <= _MSM_HOST_CUTOFF:
+        # tiny MSMs (demo/test circuits): host ints beat compiling a
+        # device program — an XLA build of the windowed-MSM graph costs
+        # minutes while a few hundred host mults cost milliseconds
+        return _msm_lanes_host(query, s, nb, g2f)
     chunk = _MSM_CHUNK_G2 if g2f else _MSM_CHUNK
     per_lane = [None] * nb
     for lo in range(0, n, chunk):

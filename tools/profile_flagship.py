@@ -75,7 +75,16 @@ def main():
 
     def full_step(inp):
         out = ri.forward(p, inp)
-        mix = out["passport_hash"] ^ out["pk_identity_hash"]
+        # Fold EVERY output (incl. the flow/sig/smt verdicts) into the
+        # carry: a carry that only tastes two hashes lets XLA dead-code
+        # eliminate the RSA/SMT/flow subgraphs entirely, and the "full"
+        # step then times a fraction of the program (the round-4
+        # profiler bug: full_step 88 ms vs the honest bench's 313 ms).
+        ok = (out["flow_ok"] & out["sig_ok"] & out["smt_ok"]).astype(
+            jnp.uint32)
+        mix = (out["passport_hash"] ^ out["pk_identity_hash"]
+               ^ out["pubkey_hash"] ^ out["dg15_pubkey_hash"]
+               ^ out["dg1_commitment"] ^ ok[None])
         sk = (inp.sk_identity ^ mix).at[-1].set(
             (inp.sk_identity[-1] ^ mix[-1]) & jnp.uint32(0x3FF))
         return inp._replace(sk_identity=sk)
