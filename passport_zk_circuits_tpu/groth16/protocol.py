@@ -539,16 +539,31 @@ def prove(pk: ProvingKey, cs: ConstraintSystem, witness, seed: int = 1):
     nv, _, batch = witness.shape
     rng = random.Random(("groth16-prove", seed).__repr__())
 
-    h = np.asarray(h_coefficients(cs, jnp.asarray(witness)))  # (16, m-1, B)
+    import os
+    import time as _time
+    trace = os.environ.get("PZK_G16_TRACE") == "1"
+
+    def _t(label, fn):
+        t0 = _time.time()
+        out = fn()
+        if trace:
+            print(f"  [g16] {label:10s} {_time.time() - t0:8.1f}s",
+                  flush=True)
+        return out
+
+    h = _t("h(X)", lambda: np.asarray(
+        h_coefficients(cs, jnp.asarray(witness))))            # (16, m-1, B)
     w_s = np.ascontiguousarray(witness.transpose(1, 2, 0))    # (16, B, nv)
 
-    a_sums = _msm_lanes(pk.a_query, pk.a_inf, w_s)
-    b1_sums = _msm_lanes(pk.b1_query, pk.b1_inf, w_s)
-    k_sums = _msm_lanes(pk.k_query, pk.k_inf,
-                        np.ascontiguousarray(w_s[:, :, pk.n_public + 1:]))
-    h_sums = _msm_lanes(pk.h_query, None,
-                        np.ascontiguousarray(h.transpose(0, 2, 1)))
-    b2_sums = _msm_lanes(pk.b2_query, pk.b2_inf, w_s, curve="bn254_g2")
+    a_sums = _t("msm A", lambda: _msm_lanes(pk.a_query, pk.a_inf, w_s))
+    b1_sums = _t("msm B1", lambda: _msm_lanes(pk.b1_query, pk.b1_inf, w_s))
+    k_sums = _t("msm K", lambda: _msm_lanes(
+        pk.k_query, pk.k_inf,
+        np.ascontiguousarray(w_s[:, :, pk.n_public + 1:])))
+    h_sums = _t("msm H", lambda: _msm_lanes(
+        pk.h_query, None, np.ascontiguousarray(h.transpose(0, 2, 1))))
+    b2_sums = _t("msm B2(G2)", lambda: _msm_lanes(
+        pk.b2_query, pk.b2_inf, w_s, curve="bn254_g2"))
 
     proofs = []
     for lane in range(batch):

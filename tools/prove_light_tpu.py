@@ -62,7 +62,16 @@ def main() -> int:
 
     t0 = time.time()
     proofs = g16.prove(pk, b.cs, w, seed=6)
-    print(f"prove (batch {B}) {time.time() - t0:.1f}s", flush=True)
+    print(f"prove (batch {B}) {time.time() - t0:.1f}s "
+          "(incl. executable loads over the device tunnel)", flush=True)
+
+    # steady-state: executables resident (the number a prover service
+    # sees; first-call cost is dominated by shipping the ~100MB compiled
+    # MSM programs over the axon tunnel, see docs/ROUND5_EVIDENCE.md)
+    t0 = time.time()
+    proofs = g16.prove(pk, b.cs, w, seed=7)
+    print(f"prove steady-state (batch {B}) {time.time() - t0:.1f}s",
+          flush=True)
 
     t0 = time.time()
     for lane in range(B):
