@@ -358,26 +358,33 @@ def _matvec_fn(n_rows: int):
 def _h_from_evals_fn(m: int):
     zh_inv = pow((pow(_COSET_G, m, fr.P) - 1) % fr.P, fr.P - 2, fr.P)
 
+    # twiddles/bit-reverse ride as runtime operands: baked in as constants
+    # they are ~64B*m of HLO, which overflows the remote compiler's
+    # request body limit at m = 2^21 (HTTP 413 over the axon tunnel)
     @jax.jit
-    def fn(az, bz, cz, shift, unshift):
+    def fn(az, bz, cz, shift, unshift, tw_f, tw_i, rev):
         def to_coset_evals(e):
-            coeffs = _ntt.intt(e)
+            coeffs = _ntt.intt(e, twiddles=tw_i, rev=rev)
             return _ntt.ntt(fr.mul(coeffs,
-                                   jnp.broadcast_to(shift, coeffs.shape)))
+                                   jnp.broadcast_to(shift, coeffs.shape)),
+                            twiddles=tw_f, rev=rev)
 
         ac, bc, cc_ = map(to_coset_evals, (az, bz, cz))
         num = fr.sub(fr.mul(ac, bc), cc_)
         h_ev = fr.mul(num, fr.const(zh_inv, num.shape[1:]))
-        h = fr.mul(_ntt.intt(h_ev), jnp.broadcast_to(unshift, h_ev.shape))
+        h = fr.mul(_ntt.intt(h_ev, twiddles=tw_i, rev=rev),
+                   jnp.broadcast_to(unshift, h_ev.shape))
         return h[:, :m - 1]
 
     return fn
 
 
 def _chunked_triplets(cs: ConstraintSystem):
-    """Host-side prep (cached on the instance): per-matrix lists of
-    bucket-padded (rows, cols, coeffs) chunk arrays. Padding entries have
-    coeff 0 (they contribute nothing to any row)."""
+    """Per-matrix lists of bucket-padded (rows, cols, coeffs) chunk arrays,
+    cached on the instance as DEVICE arrays: the triplets are per-circuit
+    constants (~0.5 GB at the ECDSA config's 7M nnz) and re-uploading them
+    over the device tunnel on every prove call dominated h(X) wall time.
+    Padding entries have coeff 0 (they contribute nothing to any row)."""
     prep = getattr(cs, "_g16_h_prep", None)
     if prep is not None:
         return prep
@@ -394,10 +401,51 @@ def _chunked_triplets(cs: ConstraintSystem):
             r = np.pad(r, (0, pad))
             c = np.pad(c, (0, pad))
             v = np.pad(v, ((0, pad), (0, 0)))
-            chunks.append((r, c, v))
+            chunks.append((jnp.asarray(r), jnp.asarray(c), jnp.asarray(v)))
         out.append(chunks)
     cs._g16_h_prep = out
     return out
+
+
+# Above this domain size the fused 3-transform h program exceeds HBM
+# (each 16-limb product stage materializes a (256, m) temp; the fused
+# graph keeps several alive — 18.5G > 15.75G at m=2^21). The split path
+# runs one transform per program so XLA can retire each stage's temps.
+_H_SPLIT_DOMAIN = 1 << 20
+
+
+@functools.lru_cache(maxsize=8)
+def _intt_fn():
+    return jax.jit(lambda e, tw, rev: _ntt.intt(e, twiddles=tw, rev=rev))
+
+
+@functools.lru_cache(maxsize=8)
+def _coset_ntt_fn():
+    return jax.jit(lambda c, shift, tw, rev: _ntt.ntt(
+        fr.mul(c, jnp.broadcast_to(shift, c.shape)),
+        twiddles=tw, rev=rev))
+
+
+@functools.lru_cache(maxsize=8)
+def _h_combine_fn(m: int):
+    zh_inv = pow((pow(_COSET_G, m, fr.P) - 1) % fr.P, fr.P - 2, fr.P)
+
+    @jax.jit
+    def fn(ac, bc, cc_):
+        num = fr.sub(fr.mul(ac, bc), cc_)
+        return fr.mul(num, fr.const(zh_inv, num.shape[1:]))
+
+    return fn
+
+
+@functools.lru_cache(maxsize=8)
+def _h_final_fn(m: int):
+    @jax.jit
+    def fn(h_ev, unshift, tw, rev):
+        return fr.mul(_ntt.intt(h_ev, twiddles=tw, rev=rev),
+                      jnp.broadcast_to(unshift, h_ev.shape))[:, :m - 1]
+
+    return fn
 
 
 def h_coefficients(cs: ConstraintSystem, witness):
@@ -414,7 +462,7 @@ def h_coefficients(cs: ConstraintSystem, witness):
         for lo, (r, c, v) in zip(range(0, n_con, _H_CHUNK), chunks):
             n_rows = min(n_con, lo + _H_CHUNK) - lo
             e = _matvec_fn(_H_CHUNK if n_con > _H_CHUNK else n_con)(
-                jnp.asarray(r), jnp.asarray(c), jnp.asarray(v), witness)
+                r, c, v, witness)
             parts.append(e[:n_rows])
         e = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         e = jnp.moveaxis(e, 0, 1)                       # (16, n_con, *B)
@@ -423,7 +471,20 @@ def h_coefficients(cs: ConstraintSystem, witness):
         evs.append(jnp.pad(e, pad))
     shift = jnp.asarray(_coset_scale(m, False)[:, :, None])
     unshift = jnp.asarray(_coset_scale(m, True)[:, :, None])
-    return _h_from_evals_fn(m)(*evs, shift, unshift)
+    log_m = m.bit_length() - 1
+    tw_f = tuple(jnp.asarray(s) for s in _ntt._twiddles(log_m, False))
+    tw_i = tuple(jnp.asarray(s) for s in _ntt._twiddles(log_m, True))
+    rev = jnp.asarray(_ntt._bit_reverse(log_m))
+    if m < _H_SPLIT_DOMAIN:
+        return _h_from_evals_fn(m)(*evs, shift, unshift, tw_f, tw_i, rev)
+    coset = []
+    for e in evs:
+        c = _intt_fn()(e, tw_i, rev)
+        coset.append(_coset_ntt_fn()(c, shift, tw_f, rev))
+        del c
+    h_ev = _h_combine_fn(m)(*coset)
+    del coset
+    return _h_final_fn(m)(h_ev, unshift, tw_i, rev)
 
 
 _msm_jit = jax.jit(_msm.msm_affine, static_argnames=("curve",))
@@ -479,7 +540,8 @@ def _msm_lanes_host(query: np.ndarray, scalars: np.ndarray, nb: int,
 
 
 def _msm_lanes(query: np.ndarray, inf_mask, scalars: np.ndarray,
-               curve: str = "bn254_g1") -> list:
+               curve: str = "bn254_g1", dev_cache: dict = None,
+               cache_key: str = "") -> list:
     """Device MSM of a query table against per-lane scalars.
 
     query: (2, k, N) G1 / (2, k, 2, N) G2 affine limbs;
@@ -488,6 +550,9 @@ def _msm_lanes(query: np.ndarray, inf_mask, scalars: np.ndarray,
     N chunks are bucket-padded to powers of two so query sizes reuse
     compiled MSM executables (one huge program OOMs the compile helper at
     the flagship's 2^19 lanes); chunk partials combine host-side.
+    `dev_cache` (keyed per proving key) keeps the padded query chunks
+    device-resident across prove calls — re-uploading the multi-hundred-MB
+    query tables over the device tunnel otherwise dominates wall time.
     Returns one host affine point per lane (ints for G1, pairing FQ2
     points for G2; None = infinity)."""
     g2f = curve == "bn254_g2"
@@ -508,15 +573,22 @@ def _msm_lanes(query: np.ndarray, inf_mask, scalars: np.ndarray,
     per_lane = [None] * nb
     for lo in range(0, n, chunk):
         hi = min(n, lo + chunk)
-        q = query[..., lo:hi]
         sc = s[..., lo:hi]
         w = hi - lo
         bucket = max(8, 1 << (w - 1).bit_length())
         if bucket != w:
-            q = np.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, bucket - w)])
             sc = np.pad(sc, [(0, 0)] * (sc.ndim - 1) + [(0, bucket - w)])
-        x, y = _msm_jit(jnp.asarray(q[0]), jnp.asarray(q[1]),
-                        jnp.asarray(sc), curve=curve)
+        ck = (cache_key, lo)
+        if dev_cache is not None and ck in dev_cache:
+            qx, qy = dev_cache[ck]
+        else:
+            q = query[..., lo:hi]
+            if bucket != w:
+                q = np.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, bucket - w)])
+            qx, qy = jnp.asarray(q[0]), jnp.asarray(q[1])
+            if dev_cache is not None:
+                dev_cache[ck] = (qx, qy)
+        x, y = _msm_jit(qx, qy, jnp.asarray(sc), curve=curve)
         x, y = np.asarray(x), np.asarray(y)            # (k[,2], B)
         for lane in range(nb):
             if g2f:
@@ -551,19 +623,28 @@ def prove(pk: ProvingKey, cs: ConstraintSystem, witness, seed: int = 1):
                   flush=True)
         return out
 
+    if not hasattr(pk, "_dev_cache"):
+        pk._dev_cache = {}
+    dc = pk._dev_cache
+
     h = _t("h(X)", lambda: np.asarray(
         h_coefficients(cs, jnp.asarray(witness))))            # (16, m-1, B)
     w_s = np.ascontiguousarray(witness.transpose(1, 2, 0))    # (16, B, nv)
 
-    a_sums = _t("msm A", lambda: _msm_lanes(pk.a_query, pk.a_inf, w_s))
-    b1_sums = _t("msm B1", lambda: _msm_lanes(pk.b1_query, pk.b1_inf, w_s))
+    a_sums = _t("msm A", lambda: _msm_lanes(
+        pk.a_query, pk.a_inf, w_s, dev_cache=dc, cache_key="a"))
+    b1_sums = _t("msm B1", lambda: _msm_lanes(
+        pk.b1_query, pk.b1_inf, w_s, dev_cache=dc, cache_key="b1"))
     k_sums = _t("msm K", lambda: _msm_lanes(
         pk.k_query, pk.k_inf,
-        np.ascontiguousarray(w_s[:, :, pk.n_public + 1:])))
+        np.ascontiguousarray(w_s[:, :, pk.n_public + 1:]),
+        dev_cache=dc, cache_key="k"))
     h_sums = _t("msm H", lambda: _msm_lanes(
-        pk.h_query, None, np.ascontiguousarray(h.transpose(0, 2, 1))))
+        pk.h_query, None, np.ascontiguousarray(h.transpose(0, 2, 1)),
+        dev_cache=dc, cache_key="h"))
     b2_sums = _t("msm B2(G2)", lambda: _msm_lanes(
-        pk.b2_query, pk.b2_inf, w_s, curve="bn254_g2"))
+        pk.b2_query, pk.b2_inf, w_s, curve="bn254_g2",
+        dev_cache=dc, cache_key="b2"))
 
     proofs = []
     for lane in range(batch):

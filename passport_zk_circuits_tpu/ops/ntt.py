@@ -67,13 +67,19 @@ def _bit_reverse(log_n: int):
     return rev
 
 
-def _transform(a, inverse: bool):
-    """a: (16, n, *B) -> (16, n, *B). Iterative Cooley-Tukey."""
+def _transform(a, inverse: bool, twiddles=None, rev=None):
+    """a: (16, n, *B) -> (16, n, *B). Iterative Cooley-Tukey.
+
+    `twiddles`/`rev` may be passed as runtime operands (tuple of per-stage
+    (16, m/2) arrays + the bit-reverse index vector): at large n the baked
+    constants alone are ~64B*n of HLO, which overflows the remote
+    compiler's request limit (HTTP 413 at n = 2^21 over the axon tunnel).
+    When omitted, they are embedded as constants (fine for small n)."""
     n = a.shape[1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
-    a = a[:, _bit_reverse(log_n)]
-    stages = _twiddles(log_n, inverse)
+    a = a[:, _bit_reverse(log_n) if rev is None else rev]
+    stages = _twiddles(log_n, inverse) if twiddles is None else twiddles
     bshape = a.shape[2:]
     for s in range(1, log_n + 1):
         m = 1 << s
@@ -81,22 +87,23 @@ def _transform(a, inverse: bool):
         grp = a.reshape((fr.NLIMBS, n // m, m) + bshape)
         lo = grp[:, :, :half]
         hi = grp[:, :, half:]
-        tw = stages[s - 1].reshape((fr.NLIMBS, 1, half) + (1,) * len(bshape))
+        tw = jnp.reshape(stages[s - 1],
+                         (fr.NLIMBS, 1, half) + (1,) * len(bshape))
         t = fr.mul(jnp.broadcast_to(tw, hi.shape), hi)
         a = jnp.concatenate([fr.add(lo, t), fr.sub(lo, t)], axis=2)
         a = a.reshape((fr.NLIMBS, n) + bshape)
     return a
 
 
-def ntt(a):
+def ntt(a, twiddles=None, rev=None):
     """Forward NTT of (16, n, *B) Fr limbs (n a power of two <= 2^28)."""
-    return _transform(a, inverse=False)
+    return _transform(a, inverse=False, twiddles=twiddles, rev=rev)
 
 
-def intt(a):
+def intt(a, twiddles=None, rev=None):
     """Inverse NTT (scaled by n^-1)."""
     n = a.shape[1]
-    out = _transform(a, inverse=True)
+    out = _transform(a, inverse=True, twiddles=twiddles, rev=rev)
     n_inv = fr.to_limbs(pow(n, fr.P - 2, fr.P))
     scale = jnp.broadcast_to(
         jnp.asarray(n_inv).reshape((fr.NLIMBS,) + (1,) * (out.ndim - 1)),
