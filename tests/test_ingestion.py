@@ -127,6 +127,7 @@ def test_master_list_smt():
         tree.prove(hashes[0] + 1)
 
 
+@pytest.mark.slow  # full pipeline incl. RSA keygen + witness forward
 def test_pipeline_with_master_list():
     """Ingestion anchored to a real multi-leaf master list: the register
     circuit's SMT check passes with the DS cert's proof."""
@@ -151,6 +152,7 @@ def test_pipeline_with_master_list():
     assert np.asarray(out["smt_ok"]).all()
 
 
+@pytest.mark.slow  # full pipeline incl. RSA keygen + witness forward
 def test_pipeline_end_to_end():
     """SOD -> auto-detected params -> batched witness -> all checks pass and
     outputs match the oracles."""

@@ -22,9 +22,9 @@ def _key(bits, exp=65537):
 
 
 @pytest.mark.parametrize("key_bits,hash_len,exp", [
-    (2048, 256, 65537),   # SIG_ALGO 1
-    (2048, 160, 65537),   # SIG_ALGO 3
-    (3072, 160, 37187),   # SIG_ALGO 4
+    (2048, 256, 65537),   # SIG_ALGO 1 (flagship; stays in the fast tier)
+    pytest.param(2048, 160, 65537, marks=pytest.mark.slow),  # SIG_ALGO 3
+    pytest.param(3072, 160, 37187, marks=pytest.mark.slow),  # SIG_ALGO 4
 ])
 def test_verify_pkcs1v15(key_bits, hash_len, exp):
     B = 2
